@@ -1,0 +1,28 @@
+"""TPU-native (JAX/XLA/Pallas) rebuild of the Gaussian-VAE -> VQ-VAE image tokenizer.
+
+A from-scratch framework with the capabilities of
+tongdaxu/VQ-VAE-from-Gaussian-VAE (arXiv 2512.06609): a config-driven image
+tokenizer where a Gaussian VAE trained under a per-group KL budget of
+log2(codebook_size) bits is converted at inference into a VQ-VAE by a
+nearest-sample search over a fixed codebook of 2^16 i.i.d. standard-normal
+draws.  The search runs as a fused Pallas TPU kernel; training is a single
+jitted SPMD step over a `jax.sharding.Mesh`.
+
+Layout (mirrors the reference's layer map, see SURVEY.md):
+  utils/        config registry (target/params YAML), helpers        [L0]
+  models/       UNet + ViT backbones, AutoencodingEngine             [L1, L3]
+  quantization/ GQ / VQ / FSQ / LFQ / BSQ regularizers               [L2]
+  ops/          codebook generation + GQ search (XLA and Pallas)     [L2n]
+  losses/       LPIPS + PatchGAN discriminator loss                  [L4]
+  data/         image-folder pipeline                                [L5]
+  parallel/     mesh/sharding helpers, SPMD train step               [L6a]
+  evaluations/  PSNR / SSIM / LPIPS / FID metrics                    [L7]
+"""
+
+__version__ = "0.1.0"
+
+from vqvae_from_gaussian_vae_tpu.utils.config import (  # noqa: F401
+    instantiate_from_config,
+    get_obj_from_str,
+    load_config,
+)
