@@ -1,0 +1,374 @@
+"""SD3-style convolutional VAE backbone ("sd3unet").
+
+Re-implements the behaviour of the reference's Stability-AI conv VAE
+(`/root/reference/pit/modules/unet.py:317,439`): swish nonlinearity,
+GroupNorm(32, eps=1e-6), ResNet blocks, single-head attention at configured
+resolutions, asymmetric-padded stride-2 downsampling and nearest x2
+upsampling, with `double_z` doubling the latent channels for (mu, logvar).
+Mid-block attention is omitted exactly as the reference comments it out
+(`unet.py:391,429,500,566`).
+
+TPU-first: NHWC layout end to end (images are (B, H, W, C)), bf16-friendly
+compute dtype knob, and attention as one fused einsum chain.  Submodule names
+mirror the torch module tree so `utils.torch_convert` maps reference
+checkpoints mechanically (down.0.block.1.conv1.weight -> down_0/block_1/
+conv1/kernel).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def nonlinearity(x):
+    return x * jax.nn.sigmoid(x)  # swish (unet.py:49-51)
+
+
+def Normalize(name=None, num_groups: int = 32) -> nn.GroupNorm:
+    """GroupNorm(32, eps=1e-6) (unet.py:54-57), fp32 statistics."""
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-6, dtype=jnp.float32, name=name)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 then 3x3 conv (unet.py:60-73)."""
+
+    in_channels: int
+    with_conv: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.with_conv:
+            x = nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Asymmetric (0,1) pad + stride-2 VALID conv (unet.py:76-97)."""
+
+    in_channels: int
+    with_conv: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_conv:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = nn.Conv(self.in_channels, (3, 3), strides=(2, 2), padding="VALID",
+                        dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class ResnetBlock(nn.Module):
+    """(unet.py:100-157); temb is unused by the VAE (temb_channels=0)."""
+
+    in_channels: int
+    out_channels: Optional[int] = None
+    conv_shortcut: bool = False
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_ch = self.out_channels or self.in_channels
+        h = Normalize("norm1")(x)
+        h = nonlinearity(h)
+        h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv1")(h)
+        h = Normalize("norm2")(h)
+        h = nonlinearity(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv2")(h)
+        if self.in_channels != out_ch:
+            if self.conv_shortcut:
+                x = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                            name="conv_shortcut")(x)
+            else:
+                x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head self-attention over the spatial grid (unet.py:166-206).
+
+    q/k/v/proj are 1x1 convs; softmax runs in fp32 with the torch SDPA
+    default scale (c^-0.5).
+    """
+
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        h = Normalize("norm")(x)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h)
+        q = q.reshape(b, hh * ww, c)
+        k = k.reshape(b, hh * ww, c)
+        v = v.reshape(b, hh * ww, c)
+        attn = jnp.einsum("bqc,bkc->bqk", q, k).astype(jnp.float32) * (c ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        h = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, hh, ww, c)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return x + h
+
+
+class LinAttnBlock(nn.Module):
+    """Linear (kernel-feature) attention, the reference's `use_linear_attn`
+    path (unet.py:159-163 via attention.py LinearAttention), single head."""
+
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        h = x.reshape(b, hh * ww, c)
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype, name="to_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = jax.nn.softmax(q, axis=-1)
+        k = jax.nn.softmax(k, axis=1)
+        ctx = jnp.einsum("bnd,bne->bde", k, v)
+        out = jnp.einsum("bnd,bde->bne", q, ctx)
+        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return x + out.reshape(b, hh, ww, c)
+
+
+def make_attn(in_channels: int, attn_type: str = "vanilla", dtype: Any = jnp.float32):
+    """(unet.py:282-314).  "vanilla-xformers" maps to the same fused einsum
+    attention - XLA's flash-style fusion is the TPU memory-efficient path."""
+    assert attn_type in ("vanilla", "vanilla-xformers", "linear", "none"), attn_type
+    if attn_type in ("vanilla", "vanilla-xformers"):
+        return AttnBlock(in_channels, dtype=dtype)
+    if attn_type == "none":
+        return None
+    return LinAttnBlock(in_channels, dtype=dtype)
+
+
+class _DownLevel(nn.Module):
+    block_specs: Tuple[Tuple[int, int], ...]  # (in, out) per res block
+    use_attn: bool
+    attn_type: str
+    dropout: float
+    has_downsample: bool
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.block = [
+            ResnetBlock(in_channels=i, out_channels=o, dropout=self.dropout, dtype=self.dtype)
+            for i, o in self.block_specs
+        ]
+        if self.use_attn:
+            self.attn = [
+                make_attn(o, self.attn_type, self.dtype) for _, o in self.block_specs
+            ]
+        if self.has_downsample:
+            self.downsample = Downsample(self.block_specs[-1][1], dtype=self.dtype)
+
+    def __call__(self, x, train: bool = False):
+        for i, blk in enumerate(self.block):
+            x = blk(x, train=train)
+            if self.use_attn:
+                x = self.attn[i](x)
+        if self.has_downsample:
+            x = self.downsample(x)
+        return x
+
+
+class _Mid(nn.Module):
+    channels: int
+    dropout: float
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.block_1 = ResnetBlock(in_channels=self.channels, dropout=self.dropout, dtype=self.dtype)
+        self.block_2 = ResnetBlock(in_channels=self.channels, dropout=self.dropout, dtype=self.dtype)
+
+    def __call__(self, x, train: bool = False):
+        x = self.block_1(x, train=train)
+        # mid attention intentionally absent (unet.py:391,429 commented out)
+        return self.block_2(x, train=train)
+
+
+class Encoder(nn.Module):
+    """(unet.py:317-436).  forward: (B,H,W,3) -> (B,H/f,W/f, 2*z or z)."""
+
+    ch: int
+    out_ch: int
+    num_res_blocks: int
+    attn_resolutions: Sequence[int]
+    in_channels: int
+    resolution: int
+    z_channels: int
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    double_z: bool = True
+    use_linear_attn: bool = False
+    attn_type: str = "vanilla"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        attn_type = "linear" if self.use_linear_attn else self.attn_type
+        num_resolutions = len(self.ch_mult)
+        self.conv_in = nn.Conv(self.ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype)
+
+        in_ch_mult = (1,) + tuple(self.ch_mult)
+        levels = []
+        curr_res = self.resolution
+        for i_level in range(num_resolutions):
+            block_in = self.ch * in_ch_mult[i_level]
+            block_out = self.ch * self.ch_mult[i_level]
+            specs = []
+            for _ in range(self.num_res_blocks):
+                specs.append((block_in, block_out))
+                block_in = block_out
+            levels.append(
+                _DownLevel(
+                    block_specs=tuple(specs),
+                    use_attn=(curr_res in self.attn_resolutions) and attn_type != "none",
+                    attn_type=attn_type,
+                    dropout=self.dropout,
+                    has_downsample=i_level != num_resolutions - 1,
+                    dtype=self.dtype,
+                )
+            )
+            if i_level != num_resolutions - 1:
+                curr_res //= 2
+        self.down = levels
+        self.mid = _Mid(self.ch * self.ch_mult[-1], self.dropout, dtype=self.dtype)
+        self.norm_out = Normalize()
+        z_out = 2 * self.z_channels if self.double_z else self.z_channels
+        self.conv_out = nn.Conv(z_out, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype)
+
+    def __call__(self, x, train: bool = False):
+        h = self.conv_in(x)
+        for level in self.down:
+            h = level(h, train=train)
+        h = self.mid(h, train=train)
+        h = self.norm_out(h)
+        h = nonlinearity(h)
+        return self.conv_out(h)
+
+
+class _UpLevel(nn.Module):
+    block_specs: Tuple[Tuple[int, int], ...]
+    use_attn: bool
+    attn_type: str
+    dropout: float
+    has_upsample: bool
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.block = [
+            ResnetBlock(in_channels=i, out_channels=o, dropout=self.dropout, dtype=self.dtype)
+            for i, o in self.block_specs
+        ]
+        if self.use_attn:
+            self.attn = [
+                make_attn(o, self.attn_type, self.dtype) for _, o in self.block_specs
+            ]
+        if self.has_upsample:
+            self.upsample = Upsample(self.block_specs[-1][1], dtype=self.dtype)
+
+    def __call__(self, x, train: bool = False):
+        for i, blk in enumerate(self.block):
+            x = blk(x, train=train)
+            if self.use_attn:
+                x = self.attn[i](x)
+        if self.has_upsample:
+            x = self.upsample(x)
+        return x
+
+
+class Decoder(nn.Module):
+    """(unet.py:439-587).  forward: (B,h,w,z) -> (B,H,W,out_ch)."""
+
+    ch: int
+    out_ch: int
+    num_res_blocks: int
+    attn_resolutions: Sequence[int]
+    in_channels: int
+    resolution: int
+    z_channels: int
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    give_pre_end: bool = False
+    tanh_out: bool = False
+    use_linear_attn: bool = False
+    attn_type: str = "vanilla"
+    double_z: bool = True  # accepted for config aliasing; unused
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        attn_type = "linear" if self.use_linear_attn else self.attn_type
+        num_resolutions = len(self.ch_mult)
+        block_in = self.ch * self.ch_mult[num_resolutions - 1]
+        curr_res = self.resolution // 2 ** (num_resolutions - 1)
+
+        self.conv_in = nn.Conv(block_in, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype)
+        self.mid = _Mid(block_in, self.dropout, dtype=self.dtype)
+
+        levels = [None] * num_resolutions
+        for i_level in reversed(range(num_resolutions)):
+            block_out = self.ch * self.ch_mult[i_level]
+            specs = []
+            for _ in range(self.num_res_blocks + 1):
+                specs.append((block_in, block_out))
+                block_in = block_out
+            levels[i_level] = _UpLevel(
+                block_specs=tuple(specs),
+                use_attn=(curr_res in self.attn_resolutions) and attn_type != "none",
+                attn_type=attn_type,
+                dropout=self.dropout,
+                has_upsample=i_level != 0,
+                dtype=self.dtype,
+            )
+            if i_level != 0:
+                curr_res *= 2
+        self.up = levels
+        self.norm_out = Normalize()
+        self.conv_out = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype)
+
+    def __call__(self, z, train: bool = False):
+        h = self.conv_in(z)
+        h = self.mid(h, train=train)
+        for i_level in reversed(range(len(self.ch_mult))):
+            h = self.up[i_level](h, train=train)
+        if self.give_pre_end:
+            return h
+        h = self.norm_out(h)
+        h = nonlinearity(h)
+        h = self.conv_out(h)
+        if self.tanh_out:
+            h = jnp.tanh(h)
+        return h
+
+    def pre_last_layer(self, z, train: bool = False):
+        """Everything up to (excluding) conv_out - used by the adaptive GAN
+        weight, which needs gradients w.r.t. only the last layer
+        (`discriminator_loss.py:211-220`)."""
+        h = self.conv_in(z)
+        h = self.mid(h, train=train)
+        for i_level in reversed(range(len(self.ch_mult))):
+            h = self.up[i_level](h, train=train)
+        h = self.norm_out(h)
+        return nonlinearity(h)
+
+    @staticmethod
+    def last_layer_path() -> Tuple[str, ...]:
+        """Param-tree path of the adaptive-weight target (decoder
+        `get_last_layer`, unet.py:551-552)."""
+        return ("conv_out", "kernel")

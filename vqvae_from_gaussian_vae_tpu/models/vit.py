@@ -1,0 +1,340 @@
+"""BSQ-ViT transformer transcoder backbone ("bsqvit").
+
+Re-implements the behaviour of the reference's transformer encoder/decoder
+(`/root/reference/pit/modules/vit.py:282,448`): Linear patchify with the
+(c, sh, sw) channel-major patch-feature order, learned positional embedding,
+pre-LN residual attention blocks (packed-QKV multi-head attention, GELU MLP,
+optional LayerScale/DropPath), causal/block-causal masks, quant_embed ->
+2*z_channels head, and the decoder's tanh-FFN output head.
+
+TPU-first: batch-first (B, L, C) layout throughout (the reference permutes
+to torch's (L, B, C)), attention as fused einsums that XLA maps onto the
+MXU, fp32 softmax.  Param names mirror the torch tree for mechanical
+checkpoint conversion (transformer.resblocks.0.attn.in_proj_weight ->
+transformer/resblocks_0/attn/in_proj/kernel).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_attention_mask(sequence_length: int, mask_type: str = "none", block_size: int = 16):
+    """Additive (-inf) disable mask, or None (`vit.py:38-80`)."""
+    if mask_type is None or mask_type.lower() == "none":
+        return None
+    if mask_type.lower() == "causal":
+        return jnp.triu(
+            jnp.full((sequence_length, sequence_length), -jnp.inf, jnp.float32), k=1
+        )
+    if mask_type.lower() == "block-causal":
+        assert sequence_length % block_size == 0
+        blocks = np.kron(
+            np.eye(sequence_length // block_size), np.ones((block_size, block_size))
+        )
+        causal = np.tril(np.ones((sequence_length, sequence_length)))
+        disable = (blocks + causal) < 0.5
+        return jnp.where(disable, -jnp.inf, 0.0).astype(jnp.float32)
+    raise NotImplementedError(f"Mask type {mask_type} not implemented")
+
+
+class MultiheadAttention(nn.Module):
+    """torch nn.MultiheadAttention-compatible packed-QKV self-attention."""
+
+    d_model: int
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        b, l, c = x.shape
+        hd = c // self.n_head
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, l, self.n_head, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, self.n_head, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, self.n_head, hd).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (hd**-0.5)
+        if attn_mask is not None:
+            attn = attn + attn_mask
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, c)
+        return nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+
+
+class _MLP(nn.Module):
+    width: int
+    mlp_width: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.mlp_width, dtype=self.dtype, name="c_fc")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(self.width, dtype=self.dtype, name="c_proj")(x)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init_values: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", lambda k, s: jnp.full(s, self.init_values), (self.dim,))
+        return x * gamma
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN (default) or post-LN residual block (`vit.py:93-203`).
+
+    drop/attn_drop/drop_path are accepted for config parity; the shipped
+    configs train with all of them at 0, and stochastic depth can be added
+    via the train flag later without changing checkpoints.
+    """
+
+    d_model: int
+    n_head: int
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    use_preln: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.ln_1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        self.attn = MultiheadAttention(self.d_model, self.n_head, dtype=self.dtype)
+        self.ln_2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        self.mlp = _MLP(self.d_model, int(self.d_model * self.mlp_ratio), dtype=self.dtype)
+        if self.ls_init_value is not None:
+            self.ls_1 = LayerScale(self.d_model, self.ls_init_value)
+            self.ls_2 = LayerScale(self.d_model, self.ls_init_value)
+
+    def _ls(self, idx, x):
+        if self.ls_init_value is None:
+            return x
+        return (self.ls_1 if idx == 1 else self.ls_2)(x)
+
+    def __call__(self, x, attn_mask=None, train: bool = False):
+        if self.use_preln:
+            x = x + self._ls(1, self.attn(self.ln_1(x), attn_mask))
+            x = x + self._ls(2, self.mlp(self.ln_2(x)))
+        else:
+            x = x + self.attn(x, attn_mask)
+            x = self.ln_1(x)
+            x = x + self.mlp(x)
+            x = self.ln_2(x)
+        return x
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    use_preln: bool = True
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        block = ResidualAttentionBlock
+        if self.remat:
+            block = nn.remat(ResidualAttentionBlock, static_argnums=(3,))
+        self.resblocks = [
+            block(
+                d_model=self.width,
+                n_head=self.heads,
+                mlp_ratio=self.mlp_ratio,
+                ls_init_value=self.ls_init_value,
+                use_preln=self.use_preln,
+                dtype=self.dtype,
+            )
+            for _ in range(self.layers)
+        ]
+
+    def __call__(self, x, attn_mask=None, train: bool = False):
+        for blk in self.resblocks:
+            x = blk(x, attn_mask, train)
+        return x
+
+
+def _patchify(x: jnp.ndarray, p: Tuple[int, int]) -> jnp.ndarray:
+    """(B,H,W,C) -> (B, hh*ww, C*sh*sw) with channel-major feature order,
+    matching the reference's "b c (hh sh) (ww sw) -> b (hh ww) (c sh sw)"
+    (`vit.py:392-399`)."""
+    b, hh_sh, ww_sw, c = x.shape
+    hh, ww = hh_sh // p[0], ww_sw // p[1]
+    x = x.reshape(b, hh, p[0], ww, p[1], c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # b, hh, ww, c, sh, sw
+    return x.reshape(b, hh * ww, c * p[0] * p[1])
+
+
+def _unpatchify(x: jnp.ndarray, grid: Tuple[int, int], p: Tuple[int, int], c: int) -> jnp.ndarray:
+    """Inverse of _patchify: (B, L, c*sh*sw) -> (B, H, W, c) (`vit.py:613-620`)."""
+    b = x.shape[0]
+    x = x.reshape(b, grid[0], grid[1], c, p[0], p[1])
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, hh, sh, ww, sw, c
+    return x.reshape(b, grid[0] * p[0], grid[1] * p[1], c)
+
+
+class TransformerEncoder(nn.Module):
+    """(`vit.py:282-445`): image -> (B, L, 2*z or z) tokens."""
+
+    image_size: int
+    patch_size: int
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float
+    double_z: bool
+    z_channels: int
+    ls_init_value: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    ln_pre: bool = True
+    ln_post: bool = True
+    act_layer: str = "gelu"
+    norm_layer: str = "layer_norm"
+    mask_type: Optional[str] = "none"
+    mask_block_size: int = -1
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.act_layer.lower() == "gelu"
+        assert self.norm_layer.lower() == "layer_norm"
+        p = (self.patch_size, self.patch_size)
+        self.grid_size = (self.image_size // p[0], self.image_size // p[1])
+        self.conv1 = nn.Dense(self.width, use_bias=not self.ln_pre, dtype=self.dtype)
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.02),
+            (self.grid_size[0] * self.grid_size[1], self.width),
+        )
+        self.ln_pre_mod = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre") if self.ln_pre else None
+        self.transformer = Transformer(
+            width=self.width,
+            layers=self.layers,
+            heads=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value,
+            remat=self.remat,
+            dtype=self.dtype,
+        )
+        self.ln_post_mod = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")
+        zc = self.z_channels * 2 if self.double_z else self.z_channels
+        self.quant_embed = nn.Dense(zc, dtype=self.dtype)
+
+    def __call__(self, x, train: bool = False):
+        p = (self.patch_size, self.patch_size)
+        x = _patchify(x, p)
+        x = self.conv1(x)
+        x = x + self.positional_embedding.astype(x.dtype)
+        if self.ln_pre_mod is not None:
+            x = self.ln_pre_mod(x)
+        block = (
+            self.grid_size[0] * self.grid_size[1]
+            if self.mask_block_size <= 0
+            else self.mask_block_size
+        )
+        mask = get_attention_mask(x.shape[1], self.mask_type or "none", block)
+        x = self.transformer(x, mask, train)
+        x = self.ln_post_mod(x)
+        return self.quant_embed(x)
+
+
+class TransformerDecoder(nn.Module):
+    """(`vit.py:448-642`): (B, L, z) tokens -> image."""
+
+    image_size: int
+    patch_size: int
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float
+    double_z: bool  # accepted for config aliasing (decoder ignores it)
+    z_channels: int
+    ls_init_value: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    ln_pre: bool = True
+    ln_post: bool = True
+    act_layer: str = "gelu"
+    norm_layer: str = "layer_norm"
+    use_ffn_output: bool = True
+    dim_ffn_output: int = 3072
+    logit_laplace: bool = False
+    mask_type: Optional[str] = "none"
+    mask_block_size: int = -1
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.act_layer.lower() == "gelu"
+        assert self.norm_layer.lower() == "layer_norm"
+        p = (self.patch_size, self.patch_size)
+        self.grid_size = (self.image_size // p[0], self.image_size // p[1])
+        out_feats = 3 * p[0] * p[1] * (1 + int(self.logit_laplace))
+        if self.use_ffn_output:
+            self.ffn_0 = nn.Dense(self.dim_ffn_output, dtype=self.dtype)
+            self.conv_out = nn.Dense(out_feats, dtype=self.dtype)
+        else:
+            self.ffn_0 = None
+            self.conv_out = nn.Dense(out_feats, dtype=self.dtype)
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.02),
+            (self.grid_size[0] * self.grid_size[1], self.width),
+        )
+        self.ln_pre_mod = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre") if self.ln_pre else None
+        self.transformer = Transformer(
+            width=self.width,
+            layers=self.layers,
+            heads=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value,
+            remat=self.remat,
+            dtype=self.dtype,
+        )
+        self.ln_post_mod = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post") if self.ln_post else None
+        self.post_quant_embed = nn.Dense(self.width, dtype=self.dtype)
+
+    def _trunk(self, x, train: bool = False):
+        x = self.post_quant_embed(x)
+        x = x + self.positional_embedding.astype(x.dtype)
+        if self.ln_pre_mod is not None:
+            x = self.ln_pre_mod(x)
+        block = (
+            self.grid_size[0] * self.grid_size[1]
+            if self.mask_block_size <= 0
+            else self.mask_block_size
+        )
+        mask = get_attention_mask(x.shape[1], self.mask_type or "none", block)
+        x = self.transformer(x, mask, train)
+        if self.ln_post_mod is not None:
+            x = self.ln_post_mod(x)
+        if self.ffn_0 is not None:
+            x = jnp.tanh(self.ffn_0(x))
+        return x
+
+    def __call__(self, x, train: bool = False):
+        x = self._trunk(x, train)
+        x = self.conv_out(x)
+        p = (self.patch_size, self.patch_size)
+        return _unpatchify(x, self.grid_size, p, 3 * (1 + int(self.logit_laplace)))
+
+    def pre_last_layer(self, x, train: bool = False):
+        """Trunk output right before conv_out, for the adaptive GAN weight
+        (decoder `get_last_layer` = conv_out.weight, `vit.py:572-573`)."""
+        return self._trunk(x, train)
+
+    @staticmethod
+    def last_layer_path() -> Tuple[str, ...]:
+        return ("conv_out", "kernel")
