@@ -59,8 +59,11 @@ def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict[str, Any]:
 def _adapt(value: np.ndarray, template: np.ndarray, leaf_name: str) -> np.ndarray:
     v = np.asarray(value)
     t_shape = tuple(template.shape)
-    if v.ndim == 4 and len(t_shape) == 4:  # conv OIHW -> HWIO
-        v = v.transpose(2, 3, 1, 0)
+    if v.ndim == 4 and len(t_shape) == 4:
+        if tuple(v.transpose(2, 3, 1, 0).shape) == t_shape:  # conv OIHW -> HWIO
+            v = v.transpose(2, 3, 1, 0)
+        elif tuple(v.transpose(0, 2, 3, 1).shape) == t_shape:  # NCHW stat -> NHWC
+            v = v.transpose(0, 2, 3, 1)
     elif v.ndim == 2 and len(t_shape) == 2 and leaf_name == "kernel":
         v = v.T
     if tuple(v.shape) != t_shape:
