@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Sharded reconstruction-metric sweep (reference `/root/reference/eval.py`).
+
+    python eval.py --base configs/sd3unet_gq_0.25.yaml --ckpt model.ckpt \
+        --dataset /path/to/images --img_size 256 --bs 16 [--save --save_dir out]
+
+Prints PSNR / SSIM / MS-SSIM / LPIPS(alex) means +-std and FID between the
+source and reconstructed image distributions.
+
+TPU-native redesign: the reference launches one torch.distributed process
+per GPU and all_gathers every metric tensor (`eval.py:83-107,166-203`), then
+rank-0 re-interleaves the shards (`:213-215`).  Here a single SPMD program
+shards each batch over the `data` mesh axis; metric arrays come back as
+ordinary global arrays, so the gather choreography and the interleave reorg
+disappear entirely.
+
+Weight assets (no egress in this image): pass --inception_weights /
+--lpips_weights to load converted torch checkpoints; otherwise the nets run
+with seeded random weights and a warning (relative comparisons remain
+meaningful, absolute FID/LPIPS parity needs the assets).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--base", default="", type=str, help="model config yaml")
+    p.add_argument("--ckpt", default="", type=str, help="torch .ckpt or flax .msgpack")
+    p.add_argument("--dataset", default="", type=str, help="image folder or .txt list")
+    p.add_argument("--img_size", default=256, type=int)
+    p.add_argument("--bs", default=1, type=int, help="per-device batch size")
+    p.add_argument("--save", default=False, type=bool)
+    p.add_argument("--save_dir", default="", type=str)
+    p.add_argument("--limit", default=0, type=int, help="cap on total images (0 = all)")
+    p.add_argument("--inception_weights", default="", type=str)
+    p.add_argument("--lpips_weights", default="", type=str)
+    # accepted for reference-CLI compatibility; SPMD needs no backend choice
+    p.add_argument("--dist-backend", default="", type=str)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from vqvae_from_gaussian_vae_tpu import instantiate_from_config
+    from vqvae_from_gaussian_vae_tpu.data.dataset import SimpleDataset, _PrefetchLoader
+    from vqvae_from_gaussian_vae_tpu.evaluations.fid import calculate_frechet_distance
+    from vqvae_from_gaussian_vae_tpu.evaluations.inception import InceptionV3, load_inception_weights
+    from vqvae_from_gaussian_vae_tpu.evaluations.lpips_metric import LPIPSMetric
+    from vqvae_from_gaussian_vae_tpu.evaluations.psnr import get_psnr
+    from vqvae_from_gaussian_vae_tpu.evaluations.ssim import get_ssim_and_msssim
+    from vqvae_from_gaussian_vae_tpu.parallel.mesh import make_mesh, shard_batch
+    from vqvae_from_gaussian_vae_tpu.utils.config import load_config
+
+    cfg = load_config(args.base)
+    cfg["model"]["params"]["loss_config"] = None
+    cfg["model"]["params"].pop("ckpt_path", None)
+    engine = instantiate_from_config(cfg["model"])
+    engine.init_params(jax.random.PRNGKey(0))
+    if args.ckpt:
+        engine.load_checkpoint(args.ckpt)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh({"data": -1})
+    global_bs = args.bs * n_dev
+
+    dataset = SimpleDataset(args.dataset, image_size=args.img_size)
+    loader = _PrefetchLoader(dataset, global_bs, shuffle=False, drop_last=True)
+
+    inception = InceptionV3(output_blocks=(3,), resize_input=True, normalize_input=False)
+    inc_vars = inception.init(jax.random.PRNGKey(1), jnp.zeros((1, args.img_size, args.img_size, 3)))
+    if args.inception_weights:
+        inc_vars, missing, _ = load_inception_weights(inc_vars, args.inception_weights)
+        if missing:
+            print("inception missing keys:", missing[:5], "...")
+    else:
+        print("WARNING: no --inception_weights; FID uses random-weight features")
+    lpips = LPIPSMetric("alex", weights_path=args.lpips_weights or None)
+    if not args.lpips_weights:
+        print("WARNING: no --lpips_weights; LPIPS uses random-weight features")
+
+    module, params = engine.module, engine.params
+
+    def metric_step(params, inc_vars, lpips_vars, img, rng):
+        z, info = module.apply(
+            {"params": params}, img, return_reg_log=True, train=False,
+            method="encode", rngs={"sample": rng},
+        )
+        rec = module.apply({"params": params}, z, method="decode")
+        psnr = get_psnr(img, rec, zero_mean=True)
+        ssim_v, msssim_v = get_ssim_and_msssim(img, rec, zero_mean=True)
+        lp = lpips.module.apply(lpips_vars, img, rec)[:, 0, 0, 0]
+        (feat_x,) = inception.apply(inc_vars, img)
+        (feat_r,) = inception.apply(inc_vars, rec)
+        return {
+            "rec": rec,
+            "psnr": psnr,
+            "ssim": ssim_v,
+            "msssim": msssim_v,
+            "lpips": lp,
+            "feat_x": feat_x[:, 0, 0, :],
+            "feat_r": feat_r[:, 0, 0, :],
+            "indices": info.get("indices"),
+        }
+
+    step = jax.jit(metric_step)
+
+    acc = {k: [] for k in ("psnr", "ssim", "msssim", "lpips", "feat_x", "feat_r")}
+    hist = np.zeros(65536, np.int64)
+    total = 0
+    if args.save:
+        src_dir = os.path.join(args.save_dir, "src")
+        rec_dir = os.path.join(args.save_dir, "rec")
+        os.makedirs(src_dir, exist_ok=True)
+        os.makedirs(rec_dir, exist_ok=True)
+
+    with mesh:
+        for i, batch in enumerate(loader):
+            img = shard_batch(mesh, {"img": batch["img"]})["img"]
+            out = step(params, inc_vars, lpips.variables, img, jax.random.fold_in(jax.random.PRNGKey(2), i))
+            for k in acc:
+                acc[k].append(np.asarray(out[k]))
+            if out["indices"] is not None:
+                idx = np.asarray(out["indices"]).reshape(-1)
+                if idx.max() < hist.shape[0]:
+                    hist += np.bincount(idx, minlength=hist.shape[0])
+            if args.save:
+                from PIL import Image
+
+                rec = np.asarray(out["rec"])
+                for b, fpath in enumerate(batch["fpath"]):
+                    fname = fpath.split("/")[-1] + ".png"
+                    for arr, d in ((batch["img"][b], src_dir), (rec[b], rec_dir)):
+                        u8 = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+                        Image.fromarray(u8).save(os.path.join(d, fname))
+            total += img.shape[0]
+            if args.limit and total >= args.limit:
+                break
+            if i % 20 == 0:
+                print(f"\r{total} images", end="", flush=True)
+
+    print(f"\nevaluated {total} images on {n_dev} device(s)")
+    cat = {k: np.concatenate(v) for k, v in acc.items()}
+    print(f"PSNR: {cat['psnr'].mean():.4f} (±{cat['psnr'].std():.4f})")
+    print(f"SSIM: {cat['ssim'].mean():.4f} (±{cat['ssim'].std():.4f})")
+    print(f"MS-SSIM: {np.nanmean(cat['msssim']):.4f} (±{np.nanstd(cat['msssim']):.4f})")
+    print(f"LPIPS (AlexNet): {cat['lpips'].mean():.4f} (±{cat['lpips'].std():.4f})")
+    m1, s1 = cat["feat_r"].mean(0), np.cov(cat["feat_r"], rowvar=False)
+    m2, s2 = cat["feat_x"].mean(0), np.cov(cat["feat_x"], rowvar=False)
+    print(f"FID: {calculate_frechet_distance(m1, s1, m2, s2):.4f}")
+    if hist.sum() > 0:
+        usage = (hist > 0).mean()
+        p = hist / hist.sum()
+        ent = -(p * np.log2(p + 1e-12)).sum()
+        print(f"codebook usage: {usage * 100:.2f}%  entropy: {ent:.2f} bits")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Integration tests for the train/eval CLIs on a tiny synthetic dataset."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "vqvae_from_gaussian_vae_tpu"
+
+TINY_MODEL_YAML = """
+model:
+  base_learning_rate: 1e-4
+  target: {pkg}.models.autoencoder.AutoencodingEngine
+  params:
+    input_key: img
+    loss_config:
+      target: {pkg}.losses.discriminator_loss.GeneralLPIPSWithDiscriminator
+      params:
+        perceptual_weight: 1.0
+        disc_start: 2
+        disc_weight: 0.75
+        learn_logvar: true
+        regularization_weights: {{kl_loss: 0.1}}
+        additional_log_keys: [kl_loss, bits-mean]
+        discriminator_config:
+          target: {pkg}.losses.discriminator.NLayerDiscriminator
+          params: {{input_nc: 3, ndf: 8, n_layers: 2, use_actnorm: true}}
+    regularizer_config:
+      target: {pkg}.quantization.gaussian.GaussianQuantRegularizer
+      params: {{format: bchw, group: 4, n_samples: 256, seed: 7, backend: xla}}
+    encoder_config:
+      target: {pkg}.models.unet.Encoder
+      params: &enc
+        attn_type: vanilla
+        double_z: true
+        z_channels: 4
+        resolution: 32
+        in_channels: 3
+        out_ch: 3
+        ch: 32
+        ch_mult: [1, 2]
+        num_res_blocks: 1
+        attn_resolutions: []
+        dropout: 0.0
+    decoder_config:
+      target: {pkg}.models.unet.Decoder
+      params: *enc
+training:
+  checkpoint: {{every_n_train_steps: 4, keep_every_n_train_steps: 4}}
+  image_logger: {{batch_frequency: 4, max_images: 4, increase_log_steps: false}}
+  trainer: {{max_steps: 6, log_every_n_steps: 1, seed: 0, mesh: {{data: -1}}}}
+data:
+  target: {pkg}.data.dataset.ImageDataModuleFromConfig
+  params:
+    num_workers: 2
+    batch_size: 8
+    train:
+      target: {pkg}.data.dataset.SimpleDataset
+      params: {{root: {root}, image_size: 32}}
+"""
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for i in range(24):
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i:03d}.png")
+    return str(d)
+
+
+def _env():
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GVQ_FORCE_CPU"] = "1"
+    return env
+
+
+def _run(cmd, cwd=REPO, timeout=900):
+    res = subprocess.run(
+        cmd, cwd=cwd, env=_env(), capture_output=True, text=True, timeout=timeout
+    )
+    assert res.returncode == 0, f"STDOUT:\n{res.stdout}\nSTDERR:\n{res.stderr}"
+    return res
+
+
+def test_main_train_and_resume(image_dir, tmp_path):
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(TINY_MODEL_YAML.format(pkg=PKG, root=image_dir))
+    logroot = tmp_path / "logs"
+
+    _run([sys.executable, "main.py", "--base", str(cfg_path),
+          "--logdir", str(logroot), "--name", "tiny", "--no-test"])
+
+    runs = list(logroot.iterdir())
+    assert len(runs) == 1
+    run = runs[0]
+    assert (run / "checkpoints" / "last").exists()
+    assert (run / "checkpoints" / "step_00000004").exists()
+    assert (run / "metrics.csv").exists()
+    assert (run / "configs" / "merged.yaml").exists()
+    images = list((run / "images" / "train").iterdir())
+    assert any("reconstructions" in p.name for p in images)
+    csv_text = (run / "metrics.csv").read_text()
+    assert "train/loss/total" in csv_text and "train/loss/disc" in csv_text
+
+    # resume continues from step 6 to 8
+    _run([sys.executable, "main.py", "--resume", str(run), "--no-test",
+          "training.trainer.max_steps=8"])
+    assert (run / "checkpoints" / "step_00000008").exists()
+
+
+def test_eval_cli(image_dir, tmp_path):
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(TINY_MODEL_YAML.format(pkg=PKG, root=image_dir))
+    res = _run([sys.executable, "eval.py", "--base", str(cfg_path),
+                "--dataset", image_dir, "--img_size", "32", "--bs", "1",
+                "--save", "1", "--save_dir", str(tmp_path / "dump")])
+    out = res.stdout
+    for key in ("PSNR:", "SSIM:", "MS-SSIM:", "LPIPS (AlexNet):", "FID:", "codebook usage"):
+        assert key in out, out
+    assert (tmp_path / "dump" / "src").exists()
+    assert len(list((tmp_path / "dump" / "rec").iterdir())) > 0

@@ -1,0 +1,149 @@
+"""SPMD training-step tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae_from_gaussian_vae_tpu import instantiate_from_config
+from vqvae_from_gaussian_vae_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from vqvae_from_gaussian_vae_tpu.parallel.train_state import make_optimizers
+from vqvae_from_gaussian_vae_tpu.parallel.train_step import TrainStepBuilder
+
+PKG = "vqvae_from_gaussian_vae_tpu"
+
+
+def _tiny_engine():
+    model_cfg = {
+        "target": f"{PKG}.models.autoencoder.AutoencodingEngine",
+        "params": {
+            "input_key": "img",
+            "loss_config": {
+                "target": f"{PKG}.losses.discriminator_loss.GeneralLPIPSWithDiscriminator",
+                "params": {
+                    "perceptual_weight": 1.0,
+                    "disc_start": 3,
+                    "disc_weight": 0.75,
+                    "learn_logvar": True,
+                    "regularization_weights": {"kl_loss": 0.1},
+                    "additional_log_keys": ["bits-mean"],
+                    "discriminator_config": {
+                        "target": f"{PKG}.losses.discriminator.NLayerDiscriminator",
+                        "params": {"input_nc": 3, "ndf": 8, "n_layers": 2, "use_actnorm": True},
+                    },
+                },
+            },
+            "regularizer_config": {
+                "target": f"{PKG}.quantization.gaussian.GaussianQuantRegularizer",
+                "params": {"format": "bchw", "group": 4, "n_samples": 256,
+                           "seed": 7, "backend": "xla"},
+            },
+            "encoder_config": {
+                "target": f"{PKG}.models.unet.Encoder",
+                "params": {
+                    "attn_type": "vanilla", "double_z": True, "z_channels": 4,
+                    "resolution": 32, "in_channels": 3, "out_ch": 3, "ch": 32,
+                    "ch_mult": [1, 2], "num_res_blocks": 1, "attn_resolutions": [],
+                    "dropout": 0.0,
+                },
+            },
+            "decoder_config": {
+                "target": f"{PKG}.models.unet.Decoder",
+                "params": {
+                    "attn_type": "vanilla", "double_z": True, "z_channels": 4,
+                    "resolution": 32, "in_channels": 3, "out_ch": 3, "ch": 32,
+                    "ch_mult": [1, 2], "num_res_blocks": 1, "attn_resolutions": [],
+                    "dropout": 0.0,
+                },
+            },
+        },
+    }
+    return instantiate_from_config(model_cfg)
+
+
+def _batch(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"img": rng.uniform(-1, 1, (n, 32, 32, 3)).astype(np.float32)}
+
+
+def test_train_loop_on_8_device_mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual CPU devices"
+    engine = _tiny_engine()
+    ae_opt, disc_opt = make_optimizers(1e-4)
+    builder = TrainStepBuilder(engine, ae_opt, disc_opt)
+
+    mesh = make_mesh({"data": -1})
+    assert mesh.shape["data"] == 8
+
+    state = builder.init_state(jax.random.PRNGKey(0), _batch())
+    state = state.replace(
+        engine_params=replicate(mesh, state.engine_params),
+        loss_params=replicate(mesh, state.loss_params),
+        ae_opt_state=replicate(mesh, state.ae_opt_state),
+        disc_opt_state=replicate(mesh, state.disc_opt_state),
+        duals=replicate(mesh, state.duals),
+        rng=jax.device_put(state.rng, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())),
+        step=jax.device_put(state.step, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())),
+    )
+
+    lam_before = float(state.duals["lam"])
+    logs = []
+    with mesh:
+        for i in range(6):
+            batch = shard_batch(mesh, _batch(seed=i + 1))
+            step = int(state.step)
+            disc_active = step >= 3
+            if i % 2 == 0:
+                state, log = builder.ae_step(state, batch, disc_active=disc_active)
+            else:
+                state, log = builder.disc_step(state, batch)
+            logs.append({k: float(v) for k, v in log.items()})
+
+    assert int(state.step) == 6
+    # ae losses present + finite
+    assert np.isfinite(logs[0]["train/loss/total"])
+    assert "train/kl_loss" in logs[0] and "train/bits-mean" in logs[0]
+    # pre-disc-start ae step has d_weight 0; post-start it is adaptive > 0
+    assert logs[0]["train/scalars/d_weight"] == 0.0
+    assert logs[4]["train/scalars/d_weight"] > 0.0
+    # disc phase logs
+    assert "train/loss/disc" in logs[1]
+    assert logs[1]["train/loss/disc"] == 0.0  # gated pre-start
+    assert logs[5]["train/loss/disc"] > 0.0
+    # GQ duals moved (multiplicative updates applied from global stats)
+    assert float(state.duals["lam"]) != lam_before
+
+    # eval step produces both phase logs
+    ev = builder.eval_step(state, shard_batch(mesh, _batch(seed=99)))
+    assert "val/loss/rec" in ev and "val/loss/disc" in ev
+    assert np.isfinite(float(ev["val/loss/total"]))
+
+
+def test_ae_step_changes_params_and_respects_frozen_lpips():
+    engine = _tiny_engine()
+    ae_opt, disc_opt = make_optimizers(1e-3)
+    builder = TrainStepBuilder(engine, ae_opt, disc_opt)
+    state = builder.init_state(jax.random.PRNGKey(1), _batch())
+
+    enc_before = np.asarray(
+        jax.tree.leaves(state.engine_params["encoder"])[0]
+    ).copy()
+    lpips_before = jax.tree.map(np.asarray, state.loss_params["perceptual_loss"])
+    disc_before = jax.tree.map(np.asarray, state.loss_params["discriminator"])
+    logvar_before = float(state.loss_params["logvar"])
+
+    state, _ = builder.ae_step(state, _batch(seed=5), disc_active=False)
+
+    enc_after = np.asarray(jax.tree.leaves(state.engine_params["encoder"])[0])
+    assert not np.allclose(enc_before, enc_after)
+    assert float(state.loss_params["logvar"]) != logvar_before  # learn_logvar
+    # LPIPS and discriminator untouched by the ae optimizer
+    for b, a in zip(jax.tree.leaves(lpips_before), jax.tree.leaves(state.loss_params["perceptual_loss"])):
+        np.testing.assert_array_equal(b, np.asarray(a))
+    for b, a in zip(jax.tree.leaves(disc_before), jax.tree.leaves(state.loss_params["discriminator"])):
+        np.testing.assert_array_equal(b, np.asarray(a))
+
+    disc_state_before = jax.tree.map(np.asarray, state.loss_params["discriminator"])
+    state, _ = builder.disc_step(state, _batch(seed=6))
+    # pre-disc-start the disc loss is 0 -> no movement; after start it moves
+    for b, a in zip(jax.tree.leaves(disc_state_before), jax.tree.leaves(state.loss_params["discriminator"])):
+        np.testing.assert_array_equal(b, np.asarray(a))

@@ -21,6 +21,19 @@ Layout (mirrors the reference's layer map, see SURVEY.md):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# This image's axon TPU plugin overrides the JAX_PLATFORMS env var during
+# plugin registration; honour an explicit cpu request (tests, the driver's
+# virtual-device dry runs) through jax.config, which does win.
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialised; caller controlled it explicitly
+
 from vqvae_from_gaussian_vae_tpu.utils.config import (  # noqa: F401
     instantiate_from_config,
     get_obj_from_str,

@@ -82,6 +82,15 @@ class EngineModule(nn.Module):
         z = self._unstandardize(z)
         return self.decoder.pre_last_layer(z, train=train)
 
+    def decode_last_layer(self, h, train: bool = False):
+        """Final decoder projection (+ tanh/unpatchify) + clamp; composing
+        decode_pre_last_layer |> decode_last_layer == decode (+ clamp), so
+        the adaptive-weight VJPs see the same graph the loss sees."""
+        x = self.decoder.last_layer(h, train=train)
+        if self.clamp_range is not None:
+            x = jnp.clip(x, self.clamp_range[0], self.clamp_range[1])
+        return x
+
     def dequant(self, indices):
         zhat = self.regularization.dequant(indices)
         # Faithful to autoencoder.py:393-398: dequant routes through decode(),

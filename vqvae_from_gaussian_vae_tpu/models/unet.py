@@ -367,6 +367,14 @@ class Decoder(nn.Module):
         h = self.norm_out(h)
         return nonlinearity(h)
 
+    def last_layer(self, h, train: bool = False):
+        """conv_out (+ tanh) applied to pre_last_layer output; composing
+        pre_last_layer |> last_layer == __call__."""
+        h = self.conv_out(h)
+        if self.tanh_out:
+            h = jnp.tanh(h)
+        return h
+
     @staticmethod
     def last_layer_path() -> Tuple[str, ...]:
         """Param-tree path of the adaptive-weight target (decoder

@@ -335,6 +335,13 @@ class TransformerDecoder(nn.Module):
         (decoder `get_last_layer` = conv_out.weight, `vit.py:572-573`)."""
         return self._trunk(x, train)
 
+    def last_layer(self, x, train: bool = False):
+        """conv_out + unpatchify; composing pre_last_layer |> last_layer ==
+        __call__."""
+        x = self.conv_out(x)
+        p = (self.patch_size, self.patch_size)
+        return _unpatchify(x, self.grid_size, p, 3 * (1 + int(self.logit_laplace)))
+
     @staticmethod
     def last_layer_path() -> Tuple[str, ...]:
         return ("conv_out", "kernel")

@@ -1,0 +1,63 @@
+"""Device mesh and sharding helpers.
+
+The reference scales with Lightning DDP over NCCL (`/root/reference/main.py:
+693-708`) and raw torch.distributed for eval (`eval.py:83-107`).  The
+TPU-native equivalent is single-program SPMD: one jitted step over a
+`jax.sharding.Mesh`, batches sharded on the ``data`` axis, params replicated
+(a ``model`` axis is part of the mesh spec for future tensor parallelism).
+XLA's GSPMD inserts the gradient psums that DDP hooks performed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(spec: Optional[Dict[str, int]] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """Build a mesh from {axis: size}; size -1 absorbs remaining devices.
+
+    Default: all devices on the data axis, model axis of 1 (ready for tp).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    spec = dict(spec or {})
+    spec.setdefault(DATA_AXIS, -1)
+    spec.setdefault(MODEL_AXIS, 1)
+    known = int(np.prod([s for s in spec.values() if s > 0]))
+    n = len(devices)
+    assert n % known == 0, f"{n} devices not divisible by {spec}"
+    sizes = {k: (s if s > 0 else n // known) for k, s in spec.items()}
+    axis_names = tuple(sizes)
+    shape = tuple(sizes[a] for a in axis_names)
+    mesh_devices = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(mesh_devices, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch dim split across the data axis; rest replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (dict of arrays) onto the mesh, data-sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sh) if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x,
+        batch,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
