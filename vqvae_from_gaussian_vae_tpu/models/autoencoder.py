@@ -40,12 +40,22 @@ class EngineModule(nn.Module):
     regularization: nn.Module
     latent_stats: bool = False
     clamp_range: Optional[Tuple[float, float]] = None
+    foundation: Optional[nn.Module] = None  # vf branch (autoencoder.py:266-277)
+    reverse_proj: bool = False
+    vf_dim: Optional[int] = None
 
     def setup(self):
         if self.latent_stats:
             zc = self.encoder.z_channels
             self.latent_mean = self.param("latent_mean", nn.initializers.zeros, (1, 1, 1, zc))
             self.latent_std = self.param("latent_std", nn.initializers.ones, (1, 1, 1, zc))
+        if self.foundation is not None:
+            zc = self.encoder.z_channels
+            if self.reverse_proj:
+                # z -> foundation-feature space, 1x1 conv without bias
+                self.linear_proj = nn.Conv(self.vf_dim, (1, 1), use_bias=False)
+            else:
+                self.linear_proj = nn.Conv(zc, (1, 1), use_bias=True)
 
     def _standardize(self, z):
         if self.latent_stats:
@@ -91,6 +101,21 @@ class EngineModule(nn.Module):
             x = jnp.clip(x, self.clamp_range[0], self.clamp_range[1])
         return x
 
+    def vf_features(self, x, z):
+        """(aux_feature, zp) for the vf alignment branch; see __call__."""
+        aux = jax.lax.stop_gradient(self.foundation(x))
+        if self.reverse_proj:
+            zp = jax.image.resize(
+                z, (z.shape[0], aux.shape[1], aux.shape[2], z.shape[3]), "bilinear"
+            )
+            zp = self.linear_proj(zp)
+        else:
+            aux = self.linear_proj(aux)
+            zp = jax.image.resize(
+                z, (z.shape[0], aux.shape[1], aux.shape[2], z.shape[3]), "bilinear"
+            )
+        return aux, zp
+
     def dequant(self, indices):
         zhat = self.regularization.dequant(indices)
         # Faithful to autoencoder.py:393-398: dequant routes through decode(),
@@ -104,6 +129,15 @@ class EngineModule(nn.Module):
     def __call__(self, x, train: bool = False, duals=None):
         z, reg_log = self.encode(x, return_reg_log=True, train=train, duals=duals)
         dec = self.decode(z, train=train)
+        if self.foundation is not None:
+            # vf alignment features (autoencoder.py:411-419).  The foundation
+            # trunk is frozen (stop_gradient); the reference's non-reverse
+            # branch never assigns zp (a latent NameError) - here zp is z
+            # resized to the feature grid in that case.
+            aux, zp = self.vf_features(x, z)
+            reg_log = dict(reg_log)
+            reg_log["aux_feature"] = aux
+            reg_log["zp"] = zp
         if self.clamp_range is not None:
             dec = jnp.clip(dec, self.clamp_range[0], self.clamp_range[1])
         return z, dec, reg_log
@@ -160,14 +194,17 @@ class AutoencodingEngine:
         self.additional_decode_keys = set(default(additional_decode_keys, []))
         self.learning_rate: Optional[float] = None  # set by the trainer
 
-        if use_vf is not None:
-            raise NotImplementedError(
-                "use_vf (foundation-feature alignment) requires pretrained "
-                "DINO/MAE weights, unavailable in this environment; planned "
-                "as models/foundation.py"
-            )
         self.use_vf = use_vf
         self.reverse_proj = reverse_proj
+        foundation_module, vf_dim = None, None
+        if use_vf is not None:
+            from vqvae_from_gaussian_vae_tpu.models.foundation import aux_foundation_model
+
+            self.foundation_model = aux_foundation_model(
+                use_vf, weights_path=kwargs.pop("vf_weights_path", None)
+            )
+            foundation_module = self.foundation_model.module
+            vf_dim = self.foundation_model.feature_dim
 
         self.encoder = instantiate_from_config(encoder_config)
         self.decoder = instantiate_from_config(decoder_config)
@@ -178,6 +215,9 @@ class AutoencodingEngine:
             regularization=self.regularization,
             latent_stats=latent_stats,
             clamp_range=tuple(clamp_range) if clamp_range is not None else None,
+            foundation=foundation_module,
+            reverse_proj=reverse_proj,
+            vf_dim=vf_dim,
         )
         self.loss = instantiate_from_config(loss_config) if (loss_config and not eval_only) else None
 

@@ -261,6 +261,12 @@ class Encoder(nn.Module):
         h = nonlinearity(h)
         return self.conv_out(h)
 
+    @staticmethod
+    def last_layer_path():
+        """Param path of the encoder's final projection (the vf adaptive
+        weight target, autoencoder.py:444)."""
+        return ("conv_out", "kernel")
+
 
 class _UpLevel(nn.Module):
     block_specs: Tuple[Tuple[int, int], ...]

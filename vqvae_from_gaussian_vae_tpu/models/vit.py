@@ -248,6 +248,13 @@ class TransformerEncoder(nn.Module):
         x = self.ln_post_mod(x)
         return self.quant_embed(x)
 
+    @staticmethod
+    def last_layer_path():
+        """Encoder's final projection (quant_embed); the reference's
+        enc_last_layer assumes a conv_out attribute and would fail for the
+        ViT backbone - this is the analogous head."""
+        return ("quant_embed", "kernel")
+
 
 class TransformerDecoder(nn.Module):
     """(`vit.py:448-642`): (B, L, z) tokens -> image."""

@@ -70,6 +70,10 @@ class TrainStepBuilder:
         self.disc_opt = disc_opt
         self.dual_cfg = _dual_config(engine.regularization)
         self.last_layer_path = ("decoder",) + tuple(engine.decoder.last_layer_path())
+        self.enc_last_layer_path = ("encoder",) + tuple(engine.encoder.last_layer_path())
+        self.vf_adaptive = bool(engine.use_vf) and bool(
+            getattr(self.loss_mod, "adaptive_vf", False)
+        )
         self.ae_step = jax.jit(self._ae_step, static_argnames=("disc_active",), donate_argnums=(0,))
         self.disc_step = jax.jit(self._disc_step, donate_argnums=(0,))
         self.eval_step = jax.jit(self._eval_step)
@@ -88,6 +92,13 @@ class TrainStepBuilder:
         xrec = self.module.apply(
             {"params": engine_params}, h, train=True, method="decode_last_layer"
         )
+        if self.engine.use_vf:
+            aux, zp = self.module.apply(
+                {"params": engine_params}, x, z, method="vf_features"
+            )
+            reg_log = dict(reg_log)
+            reg_log["aux_feature"] = aux
+            reg_log["zp"] = zp
         return z, reg_log, h, xrec
 
     def _adaptive_d_weight(self, engine_params, loss_params, x, h):
@@ -127,6 +138,35 @@ class TrainStepBuilder:
         stats = {k: reg_log[k] for k in ("bits-mean", "bits-min", "bits-max")}
         return gq.update_duals(duals, stats, log_n, tol, factor, lam_range)
 
+    def _adaptive_vf_weight(self, engine_params, loss_params, x, rng, duals):
+        """vf_weight = ||d nll/d w_enc|| / (||d vf/d w_enc|| + 1e-4) * vf_weight
+        (`discriminator_loss.py:222-233`): one extra forward + two VJPs
+        w.r.t. only the encoder's final projection."""
+        x = jax.lax.stop_gradient(x)
+        w0 = _get_path(engine_params, self.enc_last_layer_path)
+
+        def both(w):
+            p2 = _set_path(engine_params, self.enc_last_layer_path, w)
+            _, xrec, reg_log = self.module.apply(
+                {"params": p2}, x, train=True, duals=duals, rngs={"sample": rng}
+            )
+            nll, _ = self.loss_mod.apply(
+                {"params": loss_params}, x, xrec, method="nll_from_images"
+            )
+            vf = self.loss_mod.apply(
+                {"params": loss_params}, reg_log, method="vf_loss"
+            )
+            return nll, vf
+
+        _, vjp = jax.vjp(both, w0)
+        (nll_grad,) = vjp((jnp.float32(1.0), jnp.float32(0.0)))
+        (vf_grad,) = vjp((jnp.float32(0.0), jnp.float32(1.0)))
+        w = jnp.linalg.norm(nll_grad.reshape(-1)) / (
+            jnp.linalg.norm(vf_grad.reshape(-1)) + 1e-4
+        )
+        w = jnp.clip(w, 0.0, 1e8)
+        return jax.lax.stop_gradient(w) * self.loss_mod.vf_weight
+
     # ----------------------------------------------------------- phase 0
 
     def _ae_loss(self, diff_params, state, x, rng, disc_active: bool):
@@ -136,11 +176,15 @@ class TrainStepBuilder:
         d_weight = None
         if disc_active:
             d_weight = self._adaptive_d_weight(engine_params, loss_params, x, h)
+        vf_weight = None
+        if self.vf_adaptive and "zp" in reg_log:
+            vf_weight = self._adaptive_vf_weight(engine_params, loss_params, x, rng, state.duals)
         loss_val, log = self.loss_mod.apply(
             {"params": loss_params}, x, xrec,
             regularization_log=reg_log, optimizer_idx=0,
             global_step=state.step, split="train",
             d_weight=d_weight if disc_active else jnp.float32(0.0),
+            vf_weight=vf_weight,
             train=True,
         )
         return loss_val, (log, reg_log)
