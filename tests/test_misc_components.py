@@ -1,0 +1,107 @@
+"""Attention zoo, video datasets, GQ2 torch parity, flops estimator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+PKG = "vqvae_from_gaussian_vae_tpu"
+
+
+def test_attention_zoo_shapes():
+    from vqvae_from_gaussian_vae_tpu.models.attention import (
+        BasicTransformerBlock,
+        CrossAttention,
+        SpatialTransformer,
+    )
+
+    rng = {"params": jax.random.PRNGKey(0)}
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 32)), jnp.float32)
+    ctx = jnp.asarray(np.random.default_rng(1).standard_normal((2, 7, 24)), jnp.float32)
+
+    ca = CrossAttention(query_dim=32, context_dim=24, heads=4, dim_head=8)
+    v = ca.init(rng, x, ctx)
+    out = ca.apply(v, x, ctx)
+    assert out.shape == x.shape
+
+    blk = BasicTransformerBlock(dim=32, n_heads=4, d_head=8, context_dim=24)
+    v = blk.init(rng, x, ctx)
+    assert blk.apply(v, x, ctx).shape == x.shape
+
+    img = jnp.asarray(np.random.default_rng(2).standard_normal((1, 8, 8, 32)), jnp.float32)
+    st = SpatialTransformer(in_channels=32, n_heads=4, d_head=8, depth=2)
+    v = st.init(rng, img)
+    out = st.apply(v, img)
+    assert out.shape == img.shape
+    # zero-init out-proj -> identity at init
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_video_dataset_gif(tmp_path):
+    from PIL import Image
+
+    from vqvae_from_gaussian_vae_tpu.data.video import ImageDataset, VideoDataset
+
+    rng = np.random.default_rng(0)
+    frames = [Image.fromarray(rng.integers(0, 255, (24, 30, 3), dtype=np.uint8)) for _ in range(6)]
+    gif = tmp_path / "clip.gif"
+    frames[0].save(gif, save_all=True, append_images=frames[1:])
+
+    ds = VideoDataset(str(tmp_path), image_size=16, num_frames=4)
+    item = ds[0]
+    assert item["video"].shape == (4, 16, 16, 3)
+    assert item["img"].shape == (16, 16, 3)
+    assert item["video"].min() >= -1.0 and item["video"].max() <= 1.0
+
+    Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(tmp_path / "a.png")
+    ids = ImageDataset(str(tmp_path), image_size=16, num_frames=3)
+    item = ids[0]
+    assert item["video"].shape == (3, 16, 16, 3)
+
+
+def test_gq2_matches_torch_reference():
+    """GaussianQuantRegularizer2: losses + vq indices vs the reference."""
+    from pit.quantization.gaussian import GaussianQuantRegularizer2 as TorchGQ2
+
+    from vqvae_from_gaussian_vae_tpu.quantization.gaussian import GaussianQuantRegularizer2
+
+    tmod = TorchGQ2(dim=16, codebook_size=1024, dim_idx=1, backend="torch").train()
+    z = np.random.default_rng(5).standard_normal((2, 32, 4, 4)).astype(np.float32)
+    tzhat, tinfo = tmod(torch.from_numpy(z))
+
+    # ours is channel-last: move torch's dim_idx=1 to -1
+    jmod = GaussianQuantRegularizer2(dim=16, codebook_size=1024, dim_idx=-1, backend="xla")
+    zj = jnp.asarray(z.transpose(0, 2, 3, 1))
+    variables = jmod.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, zj, train=True
+    )
+    jzhat, jinfo = jmod.apply(
+        variables, zj, train=True, rngs={"sample": jax.random.PRNGKey(2)}
+    )
+    np.testing.assert_allclose(float(jinfo["kl_loss"]), float(tinfo["kl_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(jinfo["bits-mean"]), float(tinfo["bits-mean"]), rtol=1e-4)
+    match = (
+        np.asarray(jinfo["indices"]).transpose(0, 3, 1, 2) == tinfo["indices"].numpy()
+    ).mean()
+    assert match > 0.99, match
+    # dequant round-trips the vq branch exactly
+    j2 = jmod.apply(variables, jinfo["indices"], method="dequant")
+    np.testing.assert_allclose(
+        np.asarray(j2), np.asarray(jinfo["zhat_quant"]), atol=1e-6
+    )
+
+
+def test_flops_estimator_sanity():
+    from vqvae_from_gaussian_vae_tpu.utils import flops as F
+
+    cfg = dict(ch=128, ch_mult=[1, 2, 4, 4], resolution=256, num_res_blocks=2,
+               attn_resolutions=[32], z_channels=16, double_z=True, in_channels=3, out_ch=3)
+    enc = F.unet_encoder_flops(cfg)
+    dec = F.unet_decoder_flops(cfg)
+    # conv VAEs of this size are hundreds of GFLOPs per 256px image
+    assert 1e11 < enc < 1e12, enc
+    assert 1e11 < dec < 2e12, dec
+    assert dec > enc  # decoder has num_res_blocks+1 blocks and full-res tail
+    assert F.gq_search_flops(1024, 16, 65536) == 2 * 1024 * 32 * 65536
+    vit = F.vit_flops(dict(patch_size=8, image_size=256, width=768, layers=12, mlp_ratio=4))
+    assert 1e11 < vit < 1e12, vit
