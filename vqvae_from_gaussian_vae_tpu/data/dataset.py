@@ -110,17 +110,20 @@ class _PrefetchLoader:
         stop = threading.Event()
 
         def worker():
+            from concurrent.futures import ThreadPoolExecutor
+
             try:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    items = [self.dataset[int(i)] for i in batch_idx]
-                    out_q.put(
-                        {
-                            "img": np.stack([it["img"] for it in items]),
-                            "fpath": [it["fpath"] for it in items],
-                        }
-                    )
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, map(int, batch_idx)))
+                        out_q.put(
+                            {
+                                "img": np.stack([it["img"] for it in items]),
+                                "fpath": [it["fpath"] for it in items],
+                            }
+                        )
             finally:
                 out_q.put(None)
 
@@ -151,11 +154,13 @@ class ImageDataModuleFromConfig:
         shuffle_val_dataloader: bool = False,
         prefetch_factor: int = 4,
         seed: int = 0,
+        use_native: bool = True,
     ):
         self.batch_size = batch_size
         self.num_workers = num_workers if num_workers is not None else batch_size * 2
         self.prefetch_factor = prefetch_factor
         self.seed = seed
+        self.use_native = use_native  # C++ decode pipeline when built (native/)
         self.dataset_configs = {}
         self._shuffle = {"train": True, "validation": shuffle_val_dataloader, "test": shuffle_test_loader}
         for name, cfg in (("train", train), ("validation", validation), ("test", test)):
@@ -168,11 +173,27 @@ class ImageDataModuleFromConfig:
             k: instantiate_from_config(cfg) for k, cfg in self.dataset_configs.items()
         }
 
-    def _loader(self, split: str, shard_id: int = 0, num_shards: int = 1) -> _PrefetchLoader:
+    def _loader(self, split: str, shard_id: int = 0, num_shards: int = 1):
         if not self.datasets:
             self.setup()
+        ds = self.datasets[split]
+        if self.use_native and isinstance(ds, SimpleDataset):
+            from vqvae_from_gaussian_vae_tpu.data import native_loader
+
+            if native_loader.native_available():
+                return native_loader.NativeLoader(
+                    ds.fpaths,
+                    ds.image_size,
+                    self.batch_size,
+                    shuffle=self._shuffle[split],
+                    num_workers=self.num_workers,
+                    drop_last=split == "train",
+                    seed=self.seed,
+                    shard_id=shard_id,
+                    num_shards=num_shards,
+                )
         return _PrefetchLoader(
-            self.datasets[split],
+            ds,
             self.batch_size,
             shuffle=self._shuffle[split],
             num_workers=self.num_workers,
