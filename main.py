@@ -31,6 +31,8 @@ def get_parser():
     p.add_argument("--projectname", type=str, default="vqvae_from_gaussian_vae_tpu")
     p.add_argument("--max_steps", type=int, default=0, help="override training.trainer.max_steps")
     p.add_argument("--no-test", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the first steps into <logdir>/trace")
     return p
 
 
@@ -106,6 +108,13 @@ def main():
         run_name=os.path.basename(logdir),
     )
     print(f"logdir: {logdir}  lr: {trainer.learning_rate}  devices: {trainer.mesh.devices.size}")
+    if args.profile:
+        from vqvae_from_gaussian_vae_tpu.utils.profiling import trace
+
+        with trace(os.path.join(logdir, "trace")):
+            trainer.max_steps = min(trainer.max_steps, 10)
+            trainer.fit(resume=bool(resume_dir))
+        return
     trainer.fit(resume=bool(resume_dir))
     if not args.no_test and "validation" in getattr(data, "dataset_configs", {}):
         trainer.validate(data.val_dataloader())

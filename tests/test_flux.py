@@ -1,0 +1,112 @@
+"""FLUX stack tests on a tiny configuration (architecture + pipeline
+mechanics; real weights are hub assets absent from this image)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqvae_from_gaussian_vae_tpu.models import flux as F
+
+TINY = F.FluxParams(
+    in_channels=64,
+    vec_in_dim=16,
+    context_in_dim=32,
+    hidden_size=64,
+    mlp_ratio=2.0,
+    num_heads=4,
+    depth=2,
+    depth_single_blocks=2,
+    axes_dim=(4, 6, 6),
+    theta=10000,
+    qkv_bias=True,
+    guidance_embed=True,
+)
+
+
+def _inputs(b=1, tokens=16, txt_len=8):
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((b, tokens, 64)), jnp.float32)
+    img_ids = F.make_img_ids(8, 8, b)
+    txt = jnp.asarray(rng.standard_normal((b, txt_len, 32)), jnp.float32)
+    txt_ids = jnp.zeros((b, txt_len, 3))
+    t = jnp.full((b,), 0.5)
+    y = jnp.asarray(rng.standard_normal((b, 16)), jnp.float32)
+    g = jnp.full((b,), 4.0)
+    return img, img_ids, txt, txt_ids, t, y, g
+
+
+def test_flux_forward_shapes():
+    model = F.Flux(TINY, remat=False)
+    img, img_ids, txt, txt_ids, t, y, g = _inputs()
+    params = model.init(jax.random.PRNGKey(0), img, img_ids, txt, txt_ids, t, y, None, g)["params"]
+    out = model.apply({"params": params}, img, img_ids, txt, txt_ids, t, y, None, g)
+    assert out.shape == (1, 16, 64)
+    # zero-init final layer -> exactly zero velocity at init
+    np.testing.assert_allclose(np.asarray(out, np.float32), 0.0, atol=1e-6)
+    # LoRA variant adds zero-init deltas: same output, more params
+    lora = F.Flux(TINY, lora_rank=4, remat=False)
+    lparams = lora.init(jax.random.PRNGKey(0), img, img_ids, txt, txt_ids, t, y, None, g)["params"]
+    n = len(jax.tree.leaves(params))
+    nl = len(jax.tree.leaves(lparams))
+    assert nl > n
+
+
+def test_controlnet_residuals_zero_init():
+    cn = F.ControlNetFlux(TINY, control_channels=8, controlnet_depth=2)
+    img, img_ids, txt, txt_ids, t, y, g = _inputs()
+    cond = jnp.asarray(np.random.default_rng(1).standard_normal((1, 8, 8, 8)), jnp.float32)
+    params = cn.init(jax.random.PRNGKey(0), img, img_ids, cond, txt, txt_ids, t, y, g)["params"]
+    res = cn.apply({"params": params}, img, img_ids, cond, txt, txt_ids, t, y, g)
+    assert len(res) == 2
+    assert res[0].shape == (1, 16, TINY.hidden_size)
+    # zero-init controlnet output projections
+    for r in res:
+        np.testing.assert_allclose(np.asarray(r, np.float32), 0.0, atol=1e-6)
+
+
+def test_pack_unpack_roundtrip_and_schedule():
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    packed = F.pack_latents(z)
+    assert packed.shape == (2, 16, 64)
+    # unpack(height=64,width=64) -> latent grid 8x8
+    z2 = F.unpack_latents(packed, 64, 64)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=0)
+
+    ts = F.get_schedule(8, 256)
+    assert len(ts) == 9
+    assert ts[0] == 1.0 and ts[-1] == 0.0
+    assert all(a > b for a, b in zip(ts[:-1], ts[1:]))
+
+    # rope application preserves norms per pair
+    q = jnp.asarray(rng.standard_normal((1, 2, 4, 8)), jnp.float32)
+    ids = F.make_img_ids(8, 2, 1)  # 4 tokens
+    pe = F.embed_nd(ids, (4, 2, 2), 10000)
+    q2, _ = F.apply_rope(q, q, pe)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(q2), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1),
+        rtol=1e-5,
+    )
+
+
+def test_flux_pipeline_end_to_end_tiny():
+    from vqvae_from_gaussian_vae_tpu.models.flux_pipeline import FluxPipeline
+
+    pipe = FluxPipeline(control_channels=4, flux_params=TINY, controlnet_depth=1)
+    # shrink the FLUX VAE too
+    from vqvae_from_gaussian_vae_tpu.models.third_party import AutoencoderKLDiffusers
+
+    pipe.ae = AutoencoderKLDiffusers(latent_channels=16, ch=32, ch_mult=[1, 2],
+                                     resolution=32, scaling_factor=0.3611,
+                                     shift_factor=0.1159)
+    pipe.init_params(height=32, width=32, txt_len=8)
+    control = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 4, 4, 4)), jnp.float32
+    )
+    out = pipe(control, width=32, height=32, num_steps=2, txt_len=8)
+    # FLUX latent grid for 32px is 4x4 (2*ceil(32/16)); tiny AE has f=2
+    assert out.ndim == 4 and out.shape[0] == 1 and out.shape[3] == 3
+    assert np.isfinite(np.asarray(out, np.float32)).all()

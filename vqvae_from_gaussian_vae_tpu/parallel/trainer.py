@@ -189,6 +189,7 @@ class Trainer:
                 if step % self.log_every == 0:
                     scalars = {k: float(v) for k, v in log.items()}
                     scalars["imgs_per_sec"] = imgs_seen / max(time.time() - t0, 1e-9)
+                    scalars["lr"] = self.learning_rate  # LearningRateMonitor analog
                     self.scalar_logger.log(scalars, step)
                     if self.wandb:
                         self.wandb.log(scalars, step)
