@@ -42,8 +42,11 @@ def main():
     assert args.base or args.resume, "need --base config(s) or --resume"
 
     from vqvae_from_gaussian_vae_tpu import instantiate_from_config
+    from vqvae_from_gaussian_vae_tpu.parallel.mesh import maybe_initialize_distributed
     from vqvae_from_gaussian_vae_tpu.parallel.trainer import Trainer
     from vqvae_from_gaussian_vae_tpu.utils.config import load_config
+
+    maybe_initialize_distributed()
 
     resume_dir = ""
     bases = list(args.base)

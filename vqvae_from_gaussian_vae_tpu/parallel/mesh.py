@@ -20,6 +20,19 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed():
+    """Multi-host TPU-slice init (the reference's `num_nodes`/MULTINODE_HACKS
+    analog, `main.py:864-877`): call jax.distributed.initialize() when the
+    runtime exposes coordinator env vars; a no-op on single host."""
+    import os
+
+    if any(k in os.environ for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")):
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError) as e:
+            print(f"jax.distributed.initialize skipped: {e}")
+
+
 def make_mesh(spec: Optional[Dict[str, int]] = None, devices: Optional[Sequence] = None) -> Mesh:
     """Build a mesh from {axis: size}; size -1 absorbs remaining devices.
 
