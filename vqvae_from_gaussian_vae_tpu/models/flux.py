@@ -460,6 +460,33 @@ def make_img_ids(h_latent: int, w_latent: int, bs: int):
     return jnp.asarray(np.tile(ids.reshape(1, -1, 3), (bs, 1, 1)))
 
 
+def denoise(
+    model_apply,
+    img,
+    img_ids,
+    txt,
+    txt_ids,
+    vec,
+    timesteps: List[float],
+    guidance: float = 4.0,
+):
+    """Plain guided Euler loop, no ControlNet/CFG (`sampling.py:175-228`)."""
+    guidance_vec = jnp.full((img.shape[0],), guidance, jnp.float32)
+
+    @jax.jit
+    def step(img, t_curr, t_prev):
+        t_vec = jnp.full((img.shape[0],), t_curr, jnp.float32)
+        pred = model_apply(
+            img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
+            timesteps=t_vec, y=vec, guidance=guidance_vec,
+        )
+        return img + (t_prev - t_curr) * pred.astype(img.dtype)
+
+    for t_curr, t_prev in zip(timesteps[:-1], timesteps[1:]):
+        img = step(img, t_curr, t_prev)
+    return img
+
+
 def denoise_controlnet(
     model_apply,
     controlnet_apply,
