@@ -102,6 +102,7 @@ def main():
         val_every_n_steps=trainer_knobs.get("val_every_n_steps", 0),
         seed=args.seed if args.seed is not None else trainer_knobs.get("seed", 23),
         mesh_spec=trainer_knobs.get("mesh"),
+        accumulate_grad_batches=trainer_knobs.get("accumulate_grad_batches", 1),
         scale_lr=args.scale_lr,
         base_lr=cfg["model"].get("base_learning_rate", 1e-4),
         checkpoint_cfg=ckpt_cfg,

@@ -156,17 +156,28 @@ def make_attn(in_channels: int, attn_type: str = "vanilla", dtype: Any = jnp.flo
     return LinAttnBlock(in_channels, dtype=dtype)
 
 
+def _resblock_cls(remat: bool):
+    """ResnetBlock, optionally remat-wrapped (jax.checkpoint): recompute
+    activations in the backward pass to cut training memory - the analog of
+    the reference's commented-out torch checkpointing (unet.py:157)."""
+    if remat:
+        return nn.remat(ResnetBlock, static_argnums=(2,))
+    return ResnetBlock
+
+
 class _DownLevel(nn.Module):
     block_specs: Tuple[Tuple[int, int], ...]  # (in, out) per res block
     use_attn: bool
     attn_type: str
     dropout: float
     has_downsample: bool
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
+        cls = _resblock_cls(self.remat)
         self.block = [
-            ResnetBlock(in_channels=i, out_channels=o, dropout=self.dropout, dtype=self.dtype)
+            cls(in_channels=i, out_channels=o, dropout=self.dropout, dtype=self.dtype)
             for i, o in self.block_specs
         ]
         if self.use_attn:
@@ -178,7 +189,7 @@ class _DownLevel(nn.Module):
 
     def __call__(self, x, train: bool = False):
         for i, blk in enumerate(self.block):
-            x = blk(x, train=train)
+            x = blk(x, train)
             if self.use_attn:
                 x = self.attn[i](x)
         if self.has_downsample:
@@ -217,6 +228,7 @@ class Encoder(nn.Module):
     double_z: bool = True
     use_linear_attn: bool = False
     attn_type: str = "vanilla"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -241,6 +253,7 @@ class Encoder(nn.Module):
                     attn_type=attn_type,
                     dropout=self.dropout,
                     has_downsample=i_level != num_resolutions - 1,
+                    remat=self.remat,
                     dtype=self.dtype,
                 )
             )
@@ -274,11 +287,13 @@ class _UpLevel(nn.Module):
     attn_type: str
     dropout: float
     has_upsample: bool
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
+        cls = _resblock_cls(self.remat)
         self.block = [
-            ResnetBlock(in_channels=i, out_channels=o, dropout=self.dropout, dtype=self.dtype)
+            cls(in_channels=i, out_channels=o, dropout=self.dropout, dtype=self.dtype)
             for i, o in self.block_specs
         ]
         if self.use_attn:
@@ -290,7 +305,7 @@ class _UpLevel(nn.Module):
 
     def __call__(self, x, train: bool = False):
         for i, blk in enumerate(self.block):
-            x = blk(x, train=train)
+            x = blk(x, train)
             if self.use_attn:
                 x = self.attn[i](x)
         if self.has_upsample:
@@ -316,6 +331,7 @@ class Decoder(nn.Module):
     use_linear_attn: bool = False
     attn_type: str = "vanilla"
     double_z: bool = True  # accepted for config aliasing; unused
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -340,6 +356,7 @@ class Decoder(nn.Module):
                 attn_type=attn_type,
                 dropout=self.dropout,
                 has_upsample=i_level != 0,
+                remat=self.remat,
                 dtype=self.dtype,
             )
             if i_level != 0:

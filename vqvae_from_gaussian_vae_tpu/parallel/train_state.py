@@ -32,9 +32,16 @@ class TrainState:
         return int(self.step)
 
 
-def make_optimizers(learning_rate: float, optimizer_config: Optional[Dict] = None):
+def make_optimizers(
+    learning_rate: float,
+    optimizer_config: Optional[Dict] = None,
+    accumulate_grad_batches: int = 1,
+):
     """Adam by default (the reference's torch.optim.Adam,
-    `autoencoder.py:282-284`); target/params configs name optax factories."""
+    `autoencoder.py:282-284`); target/params configs name optax factories.
+    accumulate_grad_batches > 1 wraps both optimizers in optax.MultiSteps
+    (the Trainer.accumulate_grad_batches analog, `main.py:820-830`) - each
+    optimizer accumulates across its own phase's steps."""
     cfg = optimizer_config or {"target": "optax.adam"}
     import importlib
 
@@ -43,6 +50,9 @@ def make_optimizers(learning_rate: float, optimizer_config: Optional[Dict] = Non
     params = dict(cfg.get("params", {}))
     ae_opt = factory(learning_rate, **params)
     disc_opt = factory(learning_rate, **params)
+    if accumulate_grad_batches > 1:
+        ae_opt = optax.MultiSteps(ae_opt, accumulate_grad_batches)
+        disc_opt = optax.MultiSteps(disc_opt, accumulate_grad_batches)
     return ae_opt, disc_opt
 
 

@@ -74,6 +74,7 @@ class Trainer:
         mesh_spec: Optional[Dict[str, int]] = None,
         scale_lr: bool = False,
         base_lr: float = 1e-4,
+        accumulate_grad_batches: int = 1,
         checkpoint_cfg: Optional[Dict] = None,
         image_logger_cfg: Optional[Dict] = None,
         use_wandb: bool = False,
@@ -96,15 +97,19 @@ class Trainer:
         # against YAML 1.1 parsing "1e-4" as a string.
         bs = data_module.batch_size
         base_lr = float(base_lr)
-        lr = base_lr * n_dev * bs if scale_lr else base_lr
+        lr = base_lr * accumulate_grad_batches * n_dev * bs if scale_lr else base_lr
         self.learning_rate = lr
         engine.learning_rate = lr
 
-        ae_opt, disc_opt = make_optimizers(lr, engine.optimizer_config
-                                           if isinstance(engine.optimizer_config, dict)
-                                           and "target" in engine.optimizer_config
-                                           and engine.optimizer_config["target"].startswith("optax")
-                                           else None)
+        ae_opt, disc_opt = make_optimizers(
+            lr,
+            engine.optimizer_config
+            if isinstance(engine.optimizer_config, dict)
+            and "target" in engine.optimizer_config
+            and engine.optimizer_config["target"].startswith("optax")
+            else None,
+            accumulate_grad_batches=accumulate_grad_batches,
+        )
         self.builder = TrainStepBuilder(engine, ae_opt, disc_opt)
 
         ckpt_cfg = checkpoint_cfg or {}
