@@ -44,11 +44,6 @@ def main():
         for key in ("encoder_config", "decoder_config"):
             # decoder params alias encoder's via ${...}; set on the resolved dicts
             cfg["model"]["params"][key]["params"]["dtype"] = "bfloat16"
-    # resolve dtype strings to jnp dtypes
-    for key in ("encoder_config", "decoder_config"):
-        p = cfg["model"]["params"][key]["params"]
-        if p.get("dtype") == "bfloat16":
-            p["dtype"] = jnp.bfloat16
 
     engine = instantiate_from_config(cfg["model"])
     engine.init_params(jax.random.PRNGKey(0))

@@ -160,7 +160,10 @@ class InceptionV3(nn.Module):
         outputs = {}
         last = max(self.output_blocks)
         if self.resize_input:
-            x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+            # pytorch-fid uses F.interpolate(bilinear) without antialiasing
+            x = jax.image.resize(
+                x, (x.shape[0], 299, 299, x.shape[3]), "bilinear", antialias=False
+            )
         if self.normalize_input:
             x = 2.0 * x - 1.0
         # block 0

@@ -206,6 +206,13 @@ class AutoencodingEngine:
             foundation_module = self.foundation_model.module
             vf_dim = self.foundation_model.feature_dim
 
+        # YAML dtype strings ("bfloat16"/"float32") -> jnp dtypes for the
+        # backbones' compute-dtype knobs
+        for sub in (encoder_config, decoder_config):
+            p = sub.get("params", {})
+            if isinstance(p.get("dtype"), str):
+                p["dtype"] = jnp.dtype(p["dtype"]).type
+
         self.encoder = instantiate_from_config(encoder_config)
         self.decoder = instantiate_from_config(decoder_config)
         self.regularization = instantiate_from_config(regularizer_config)
