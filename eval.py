@@ -113,6 +113,10 @@ def main():
         }
 
     step = jax.jit(metric_step)
+    # place weights on device once; host numpy leaves would re-transfer per call
+    params = jax.tree.map(jnp.asarray, params)
+    inc_vars = jax.tree.map(jnp.asarray, inc_vars)
+    lpips.variables = jax.tree.map(jnp.asarray, lpips.variables)
 
     acc = {k: [] for k in ("psnr", "ssim", "msssim", "lpips", "feat_x", "feat_r")}
     hist = np.zeros(65536, np.int64)

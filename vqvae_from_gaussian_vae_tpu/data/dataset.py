@@ -18,7 +18,7 @@ import glob
 import os
 import threading
 import queue as queue_mod
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 from PIL import Image

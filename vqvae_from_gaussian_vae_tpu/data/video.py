@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 import numpy as np
 from PIL import Image, ImageSequence
 
-from vqvae_from_gaussian_vae_tpu.data.dataset import SimpleDataset, load_image
+from vqvae_from_gaussian_vae_tpu.data.dataset import SimpleDataset
 
 VIDEO_EXTS = (".gif", ".GIF", ".mp4", ".MP4", ".webm")
 

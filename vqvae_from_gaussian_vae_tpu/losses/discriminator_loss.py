@@ -15,7 +15,7 @@ defaults to 1.0 after disc_start exactly like the reference (`:283-284`).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,6 @@ the reference separates Lightning machinery from the module math.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn

@@ -16,7 +16,7 @@ FLUX-VAE decode (the reference's generative "token decoder",
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

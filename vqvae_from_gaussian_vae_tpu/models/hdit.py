@@ -14,7 +14,6 @@ static-shape jittable.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -13,7 +13,7 @@ noised reconstruction xhat_0 = xhat + sigma*eps toward the original x:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

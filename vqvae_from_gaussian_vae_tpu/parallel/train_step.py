@@ -23,9 +23,8 @@ functions of that single kernel - same cost profile as the reference's
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
