@@ -216,9 +216,16 @@ class Trainer:
                     batch = next(it)
         except BaseException:
             # the reference's melk(): checkpoint on any crash then re-raise
-            # (`main.py:833-861`)
+            # (`main.py:833-861`), plus the MULTINODE_HACKS-style diagnostics
+            # (`main.py:864-877`)
+            import socket
+
+            print(
+                f"crash on host {socket.gethostname()} at step "
+                f"{int(self.state.step) if self.state is not None else '?'}; "
+                f"devices={jax.devices()}; writing last.ckpt"
+            )
             if self.state is not None:
-                print("crash detected - writing last.ckpt")
                 self.checkpointer.save(self.state, name="last", force=True)
             raise
         self.checkpointer.save(self.state, name="last", force=True)
