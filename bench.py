@@ -18,6 +18,7 @@ scalar computed from every iteration's output.
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -27,7 +28,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _watchdog(seconds: float):
+    """The tunneled TPU transport can hang indefinitely; if the benchmark
+    makes no progress within the budget, emit a sentinel JSON line so the
+    driver still records the run, then hard-exit."""
+
+    def fire():
+        print(json.dumps({
+            "metric": "images/sec/chip 256x256 encode+quantize+decode (TIMEOUT: device unreachable)",
+            "value": 0.0,
+            "unit": "img/s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _watchdog(float(os.environ.get("BENCH_TIMEOUT", "480")))
     from vqvae_from_gaussian_vae_tpu import instantiate_from_config
     from vqvae_from_gaussian_vae_tpu.utils.config import load_config
     from vqvae_from_gaussian_vae_tpu.utils import flops as F
@@ -84,6 +106,7 @@ def main():
     peak = F.TPU_PEAKS["v5e_bf16" if dtype == "bf16" else "v5e_fp32"]
     roofline_img_per_s = peak / flops_per_img
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "images/sec/chip 256x256 encode+quantize+decode (sd3unet_gq_0.25, %s, bs=%d)" % (dtype, batch),
         "value": round(img_per_s, 3),
