@@ -74,3 +74,32 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def tensor_parallel_params(mesh: Mesh, params, min_size: int = 2**16):
+    """Shard large kernels over the ``model`` axis (simple Megatron-style
+    tensor parallelism): conv/dense kernels whose output-feature dim divides
+    the axis size are split on that dim; everything else is replicated.
+    GSPMD propagates the activation shardings and inserts the collectives.
+
+    The reference has no TP (models fit one device, SURVEY.md 2.2); this
+    keeps the mesh axis real so larger variants scale without a redesign.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+    if tp <= 1:
+        return replicate(mesh, params)
+
+    def place(path, x):
+        leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if (
+            leaf == "kernel"
+            and hasattr(x, "ndim")
+            and x.ndim >= 2
+            and x.size >= min_size
+            and x.shape[-1] % tp == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map_with_path(place, params)
