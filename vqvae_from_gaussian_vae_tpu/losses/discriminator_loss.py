@@ -126,6 +126,12 @@ class GeneralLPIPSWithDiscriminator(nn.Module):
         vf2 = jnp.mean(nn.relu(1.0 - self.cos_margin - cos))
         return vf1 * self.distmat_weight + vf2 * self.cos_weight
 
+    def disc_logits(self, inputs, reconstructions):
+        """Raw patch-logit maps for visualisation (`:108-119`)."""
+        lr = self.discriminator(jax.lax.stop_gradient(inputs))
+        lf = self.discriminator(jax.lax.stop_gradient(reconstructions))
+        return lr, lf
+
     def init_all(self, inputs, reconstructions):
         """Init-only path touching every parameter.  The discriminator runs
         first on the real inputs so ActNorm's data-dependent init sees the
@@ -200,3 +206,47 @@ class GeneralLPIPSWithDiscriminator(nn.Module):
             return d, log
 
         raise NotImplementedError(f"Unknown optimizer_idx {optimizer_idx}")
+
+
+def visualize_disc_logits(loss_module, loss_params, inputs, reconstructions):
+    """Colormapped real/fake patch-logit grids blended over the images
+    (the reference's `log_images`, discriminator_loss.py:108-209) - host
+    side, returns {"vis_logits", "vis_logits_blended"} in [-1, 1] NHWC."""
+    import numpy as np
+    from matplotlib import colormaps
+
+    lr, lf = loss_module.apply(
+        {"params": loss_params}, inputs, reconstructions, method="disc_logits"
+    )
+    lr, lf = np.asarray(lr, np.float32), np.asarray(lf, np.float32)
+    if lr.ndim < 4:
+        return {}
+    high = max(np.abs(lr).max(), np.abs(lf).max(), 1e-6)
+    cmap = colormaps["PiYG"]
+
+    def upsample(logits, target_hw):
+        reps_h = -(-target_hw[0] // logits.shape[1])
+        reps_w = -(-target_hw[1] // logits.shape[2])
+        up = np.repeat(np.repeat(logits, reps_h, 1), reps_w, 2)
+        return up[:, : target_hw[0], : target_hw[1]]
+
+    hw = inputs.shape[1:3]
+    lr_up = upsample(lr, hw)[..., 0]
+    lf_up = upsample(lf, hw)[..., 0]
+
+    def colorize(logits):
+        return cmap((logits + high) / (2 * high))[..., :3]  # (B, H, W, 3)
+
+    vis = np.concatenate([colorize(lr_up), colorize(lf_up)], axis=1)
+    imgs = np.concatenate(
+        [np.asarray(inputs, np.float32), np.asarray(reconstructions, np.float32)], axis=1
+    )
+    imgs01 = np.clip((imgs + 1) / 2, 0, 1)
+    alpha = np.concatenate(
+        [np.abs(lr_up), np.abs(lf_up)], axis=1
+    )[..., None] / high * 0.8
+    blended = alpha * vis + (1 - alpha) * imgs01
+    return {
+        "vis_logits": 2.0 * vis - 1.0,
+        "vis_logits_blended": 2.0 * blended - 1.0,
+    }

@@ -199,9 +199,22 @@ class Trainer:
                     if self.wandb:
                         self.wandb.log(scalars, step)
                 if self.image_logger.should_log(step):
-                    self.engine.params = jax.tree.map(lambda x: x, self.state.engine_params)
-                    self.engine._jit_cache.pop("forward", None)
-                    self.image_logger.log_images(self.engine, batch, step, self.logdir)
+                    self.engine.params = self.state.engine_params
+                    extra = None
+                    if has_disc:
+                        from vqvae_from_gaussian_vae_tpu.losses.discriminator_loss import (
+                            visualize_disc_logits,
+                        )
+
+                        n = self.image_logger.max_images
+                        x_small = batch["img"][:n]
+                        _, xrec, _ = self.engine.forward(x_small)
+                        extra = visualize_disc_logits(
+                            self.engine.loss, self.state.loss_params, x_small, xrec
+                        )
+                    self.image_logger.log_images(
+                        self.engine, batch, step, self.logdir, extra_images=extra
+                    )
                 self.checkpointer.save(self.state)
                 if self._want_ckpt:
                     self.checkpointer.save(self.state, name="last", force=True)

@@ -108,16 +108,19 @@ class ImageLogger:
             return self.log_first_step
         return step % self.batch_frequency == 0 or step in self.log_steps
 
-    def log_images(self, engine, batch, step: int, logdir: str, split: str = "train"):
+    def log_images(self, engine, batch, step: int, logdir: str, split: str = "train",
+                   extra_images: Optional[dict] = None):
         out_dir = os.path.join(logdir, "images", split)
         os.makedirs(out_dir, exist_ok=True)
         small = {engine.input_key: batch[engine.input_key][: self.max_images]}
         log = engine.log_images(small, **self.log_images_kwargs)
+        if extra_images:
+            log.update(extra_images)
         from PIL import Image
 
         n_rows = self.log_images_kwargs.get("n_rows", 2)
         for key, imgs in log.items():
-            grid = _to_uint8_grid(np.asarray(imgs), n_rows=n_rows)
+            grid = _to_uint8_grid(np.asarray(imgs, dtype=np.float32), n_rows=n_rows)
             fname = f"{key}_gs-{step:06}.png"
             Image.fromarray(grid.squeeze()).save(os.path.join(out_dir, fname))
         return sorted(log)
