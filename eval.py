@@ -41,6 +41,8 @@ def parse_args():
     p.add_argument("--limit", default=0, type=int, help="cap on total images (0 = all)")
     p.add_argument("--inception_weights", default="", type=str)
     p.add_argument("--lpips_weights", default="", type=str)
+    p.add_argument("--stats_cache", default="", type=str,
+                   help=".npz path caching the source dataset's Inception (mu, sigma)")
     # accepted for reference-CLI compatibility; SPMD needs no backend choice
     p.add_argument("--dist-backend", default="", type=str)
     return p.parse_args()
@@ -159,7 +161,15 @@ def main():
     print(f"MS-SSIM: {np.nanmean(cat['msssim']):.4f} (±{np.nanstd(cat['msssim']):.4f})")
     print(f"LPIPS (AlexNet): {cat['lpips'].mean():.4f} (±{cat['lpips'].std():.4f})")
     m1, s1 = cat["feat_r"].mean(0), np.cov(cat["feat_r"], rowvar=False)
-    m2, s2 = cat["feat_x"].mean(0), np.cov(cat["feat_x"], rowvar=False)
+    if args.stats_cache and os.path.exists(args.stats_cache):
+        blob = np.load(args.stats_cache)
+        m2, s2 = blob["mu"], blob["sigma"]
+        print(f"(source stats from {args.stats_cache})")
+    else:
+        m2, s2 = cat["feat_x"].mean(0), np.cov(cat["feat_x"], rowvar=False)
+        if args.stats_cache:
+            np.savez(args.stats_cache, mu=m2, sigma=s2)
+            print(f"(source stats cached to {args.stats_cache})")
     print(f"FID: {calculate_frechet_distance(m1, s1, m2, s2):.4f}")
     if hist.sum() > 0:
         usage = (hist > 0).mean()
