@@ -55,7 +55,7 @@ def main():
     from vqvae_from_gaussian_vae_tpu.utils import flops as F
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
     dtype = os.environ.get("BENCH_DTYPE", "bf16")
 
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -69,9 +69,12 @@ def main():
 
     engine = instantiate_from_config(cfg["model"])
     engine.init_params(jax.random.PRNGKey(0))
-    module, params = engine.module, engine.params
+    module = engine.module
 
-    def step(x, rng):
+    # params must be jit ARGUMENTS: captured as closure constants they get
+    # baked into the compile payload (hundreds of MB), which the tunneled
+    # remote-compile transport rejects (HTTP 413)
+    def step(params, x, rng):
         z, reg_log = module.apply(
             {"params": params}, x, return_reg_log=True, train=False,
             method="encode", rngs={"sample": rng},
@@ -81,14 +84,15 @@ def main():
         return jnp.float32(jnp.sum(xrec[0, 0, 0])) + reg_log["indices"][0, 0, 0, 0]
 
     fn = jax.jit(step)
+    params = jax.tree.map(jnp.asarray, engine.params)
     x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.float32) * 2 - 1
     rng = jax.random.PRNGKey(2)
 
-    s = np.asarray(fn(x, rng))  # compile + warm
+    s = np.asarray(fn(params, x, rng))  # compile + warm
     t0 = time.perf_counter()
     acc = jnp.float32(0.0)
     for i in range(iters):
-        acc = acc + fn(x, jax.random.fold_in(rng, i))
+        acc = acc + fn(params, x, jax.random.fold_in(rng, i))
     _ = np.asarray(acc)  # host fetch: waits for the whole chain
     dt = time.perf_counter() - t0
     img_per_s = batch * iters / dt
