@@ -125,11 +125,19 @@ class Trainer:
         self._want_ckpt = False
         try:
             signal.signal(signal.SIGUSR1, self._on_sigusr1)
+            # the reference drops into pudb on SIGUSR2 (`main.py:849-852`);
+            # in a headless SPMD job a full stack dump is the usable analog
+            signal.signal(signal.SIGUSR2, self._on_sigusr2)
         except ValueError:
             pass  # not in main thread
 
     def _on_sigusr1(self, *_):
         self._want_ckpt = True
+
+    def _on_sigusr2(self, *_):
+        import faulthandler
+
+        faulthandler.dump_traceback(all_threads=True)
 
     # ------------------------------------------------------------- state
 
@@ -212,9 +220,11 @@ class Trainer:
                         extra = visualize_disc_logits(
                             self.engine.loss, self.state.loss_params, x_small, xrec
                         )
-                    self.image_logger.log_images(
+                    grids = self.image_logger.log_images(
                         self.engine, batch, step, self.logdir, extra_images=extra
                     )
+                    if self.wandb:
+                        self.wandb.log_images(grids, step)
                 self.checkpointer.save(self.state)
                 if self._want_ckpt:
                     self.checkpointer.save(self.state, name="last", force=True)

@@ -62,6 +62,16 @@ class WandbLogger:
         if self._run is not None:
             self._wandb.log({k: float(v) for k, v in metrics.items()}, step=step)
 
+    def log_images(self, images: Dict[str, np.ndarray], step: int, split: str = "train"):
+        """Grid upload (the reference ImageLogger's wandb path,
+        `main.py:382-392`)."""
+        if self._run is None:
+            return
+        payload = {}
+        for key, grid in images.items():
+            payload[f"{split}/{key}"] = self._wandb.Image(grid)
+        self._wandb.log(payload, step=step)
+
 
 def _to_uint8_grid(images: np.ndarray, n_rows: int = 2) -> np.ndarray:
     """(N, H, W, C) in [-1, 1] -> one uint8 grid image."""
@@ -119,8 +129,10 @@ class ImageLogger:
         from PIL import Image
 
         n_rows = self.log_images_kwargs.get("n_rows", 2)
+        grids = {}
         for key, imgs in log.items():
             grid = _to_uint8_grid(np.asarray(imgs, dtype=np.float32), n_rows=n_rows)
             fname = f"{key}_gs-{step:06}.png"
             Image.fromarray(grid.squeeze()).save(os.path.join(out_dir, fname))
-        return sorted(log)
+            grids[key] = grid
+        return grids
