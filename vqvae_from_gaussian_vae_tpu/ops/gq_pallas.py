@@ -56,10 +56,13 @@ def _kernel(n_total: int, block_n: int, a_ref, b_ref, val_ref, idx_ref):
 def gq_argmax_pallas(
     a: jax.Array,
     b: jax.Array,
-    block_r: int = 256,
-    block_n: int = 2048,
+    block_r: int = 512,
+    block_n: int = 8192,
     interpret: bool = False,
 ) -> jax.Array:
+    # defaults from a v5e sweep at the production shape (16384 x 65536 x
+    # group 16): (512, 8192) = 3.1 ms vs 4.4 ms at (256, 2048); see
+    # scripts/tune_gq_kernel.py
     """argmax_n (A @ B)[r, n] -> (R,) int32, without materialising A @ B.
 
     a: (R, K) float32, b: (K, N) float32.  K is small (2*group, e.g. 32).
