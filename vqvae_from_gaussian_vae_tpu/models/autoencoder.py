@@ -259,12 +259,23 @@ class AutoencodingEngine:
         return self.params
 
     def load_checkpoint(self, path: str, ignore_keys: Sequence[str] = ()):
-        """Load a reference torch .ckpt (Lightning state_dict) or an .npz of
-        this framework's params; strict=False semantics
-        (autoencoder.py:318-329)."""
+        """Load a reference torch .ckpt (Lightning state_dict), this
+        framework's .msgpack params, or a trainer Orbax checkpoint directory
+        (the TrainState saved under logs/<run>/checkpoints/...); strict=False
+        semantics (autoencoder.py:318-329)."""
+        import os
+
         if self.params is None:
             self._pending_ckpt = None
             self.init_params()
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
+
+            state = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+            params = state.get("engine_params", state) if isinstance(state, dict) else state
+            self.params = jax.tree.map(jnp.asarray, params)
+            print(f"Restored engine params from trainer checkpoint {path}")
+            return [], []
         if path.endswith((".npz", ".msgpack")):
             import flax.serialization as ser
 
