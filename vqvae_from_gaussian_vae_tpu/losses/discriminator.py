@@ -56,6 +56,15 @@ class NLayerDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if train and not self.use_actnorm:
+            # BatchNorm's running statistics need a mutable variable
+            # collection the two-phase train step does not thread (every
+            # shipped config trains with use_actnorm: true, like the
+            # reference's YAMLs); fail loudly instead of deep in flax.
+            raise NotImplementedError(
+                "training the BatchNorm discriminator variant is not wired; "
+                "set discriminator_config.params.use_actnorm: true"
+            )
         init = nn.initializers.normal(0.02)
         kw, padw = (4, 4), [(1, 1), (1, 1)]
         use_bias = self.use_actnorm  # BatchNorm branch has affine -> no bias
