@@ -36,6 +36,46 @@ def get_parser():
     return p
 
 
+def _fit_postprocessor(engine, data, cfg, args, logdir):
+    """Rectified-flow poster training (the reference trains
+    AutoencodingPostEngine through the same main.py harness,
+    postprocessor.py:144-162): frozen AE, single optimizer, simple loop."""
+    import jax
+    import numpy as np
+
+    from vqvae_from_gaussian_vae_tpu.utils.loggers import CSVLogger
+
+    tcfg = cfg.get("training", {}).get("trainer", {})
+    max_steps = args.max_steps or tcfg.get("max_steps", 100_000)
+    lr = float(cfg["model"].get("base_learning_rate", 1e-4))
+    loader = data.train_dataloader()
+    it = iter(loader)
+    first = next(it)
+    engine.init_params(jax.random.PRNGKey(args.seed), example=first["img"])
+    step_fn, opt_state = engine.make_train_step(lr)
+    params = engine.poster_params
+    logger = CSVLogger(logdir)
+    step = 0
+    batch = first
+    while step < max_steps:
+        params, opt_state, loss = step_fn(params, opt_state, batch["img"],
+                                          jax.random.fold_in(jax.random.PRNGKey(1), step))
+        if step % tcfg.get("log_every_n_steps", 50) == 0:
+            logger.log({"train/loss": float(loss)}, step)
+        step += 1
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            batch = next(it)
+    engine.poster_params = params
+    import flax.serialization as ser
+
+    with open(os.path.join(logdir, "poster_params.msgpack"), "wb") as f:
+        f.write(ser.to_bytes(params))
+    print(f"poster trained for {step} steps; params saved under {logdir}")
+
+
 def main():
     parser = get_parser()
     args, unknown = parser.parse_known_args()
@@ -76,6 +116,12 @@ def main():
 
     engine = instantiate_from_config(cfg["model"])
     data = instantiate_from_config(cfg["data"])
+
+    from vqvae_from_gaussian_vae_tpu.models.postprocessor import AutoencodingPostEngine
+
+    if isinstance(engine, AutoencodingPostEngine):
+        _fit_postprocessor(engine, data, cfg, args, logdir)
+        return
 
     tcfg = cfg.get("training", {})
     # understand reference-style `lightning:` sections too
