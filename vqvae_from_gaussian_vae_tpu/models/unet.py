@@ -136,25 +136,65 @@ class Downsample(nn.Module):
 
 
 class ResnetBlock(nn.Module):
-    """(unet.py:100-157); temb is unused by the VAE (temb_channels=0)."""
+    """(unet.py:100-157); temb is unused by the VAE (temb_channels=0).
+
+    fused_gn_conv routes the two GroupNorm+swish+conv pairs through the
+    Pallas kernel (ops/fused_gn_conv.py) on the inference path - same
+    params, 2 fewer full-resolution HBM passes per conv.  Dropout (0 in
+    every shipped config) and training fall back to the XLA path.
+    """
 
     in_channels: int
     out_channels: Optional[int] = None
     conv_shortcut: bool = False
     dropout: float = 0.0
+    fused_gn_conv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = self.out_channels or self.in_channels
-        h = Normalize("norm1", dtype=self.dtype)(x)
-        h = nonlinearity(h)
-        h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv1")(h)
-        h = Normalize("norm2", dtype=self.dtype)(h)
-        h = nonlinearity(h)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv2")(h)
+        use_fused = (
+            self.fused_gn_conv
+            and not train
+            and self.dropout == 0.0
+            and x.shape[1] % 8 == 0
+        )
+        if use_fused:
+            from vqvae_from_gaussian_vae_tpu.ops.fused_gn_conv import fused_gn_swish_conv
+
+            # explicit param dicts sharing the nn.GroupNorm/nn.Conv layout
+            # (same names/shapes/inits -> checkpoints unchanged)
+            def gn_init(c):
+                return lambda rng: {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
+            def conv_init(cin, cout):
+                return lambda rng: {
+                    "kernel": nn.initializers.lecun_normal()(rng, (3, 3, cin, cout)),
+                    "bias": jnp.zeros((cout,)),
+                }
+
+            n1 = self.param("norm1", gn_init(self.in_channels))
+            c1 = self.param("conv1", conv_init(self.in_channels, out_ch))
+            n2 = self.param("norm2", gn_init(out_ch))
+            c2 = self.param("conv2", conv_init(out_ch, out_ch))
+            bh = 32 if x.shape[1] % 32 == 0 else 8
+            h = fused_gn_swish_conv(
+                x.astype(self.dtype), n1["scale"], n1["bias"],
+                c1["kernel"], c1["bias"], block_h=bh,
+            )
+            h = fused_gn_swish_conv(
+                h, n2["scale"], n2["bias"], c2["kernel"], c2["bias"], block_h=bh,
+            )
+        else:
+            h = Normalize("norm1", dtype=self.dtype)(x)
+            h = nonlinearity(h)
+            h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv1")(h)
+            h = Normalize("norm2", dtype=self.dtype)(h)
+            h = nonlinearity(h)
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv2")(h)
         if self.in_channels != out_ch:
             if self.conv_shortcut:
                 x = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
@@ -239,12 +279,14 @@ class _DownLevel(nn.Module):
     dropout: float
     has_downsample: bool
     remat: bool = False
+    fused_gn_conv: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         cls = _resblock_cls(self.remat)
         self.block = [
-            cls(in_channels=i, out_channels=o, dropout=self.dropout, dtype=self.dtype)
+            cls(in_channels=i, out_channels=o, dropout=self.dropout,
+                fused_gn_conv=self.fused_gn_conv, dtype=self.dtype)
             for i, o in self.block_specs
         ]
         if self.use_attn:
@@ -267,11 +309,14 @@ class _DownLevel(nn.Module):
 class _Mid(nn.Module):
     channels: int
     dropout: float
+    fused_gn_conv: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.block_1 = ResnetBlock(in_channels=self.channels, dropout=self.dropout, dtype=self.dtype)
-        self.block_2 = ResnetBlock(in_channels=self.channels, dropout=self.dropout, dtype=self.dtype)
+        self.block_1 = ResnetBlock(in_channels=self.channels, dropout=self.dropout,
+                                   fused_gn_conv=self.fused_gn_conv, dtype=self.dtype)
+        self.block_2 = ResnetBlock(in_channels=self.channels, dropout=self.dropout,
+                                   fused_gn_conv=self.fused_gn_conv, dtype=self.dtype)
 
     def __call__(self, x, train: bool = False):
         x = self.block_1(x, train=train)
@@ -296,6 +341,7 @@ class Encoder(nn.Module):
     use_linear_attn: bool = False
     attn_type: str = "vanilla"
     remat: bool = False
+    fused_gn_conv: bool = False  # Pallas GN+swish+conv on the inference path
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -321,13 +367,15 @@ class Encoder(nn.Module):
                     dropout=self.dropout,
                     has_downsample=i_level != num_resolutions - 1,
                     remat=self.remat,
+                    fused_gn_conv=self.fused_gn_conv,
                     dtype=self.dtype,
                 )
             )
             if i_level != num_resolutions - 1:
                 curr_res //= 2
         self.down = levels
-        self.mid = _Mid(self.ch * self.ch_mult[-1], self.dropout, dtype=self.dtype)
+        self.mid = _Mid(self.ch * self.ch_mult[-1], self.dropout,
+                        fused_gn_conv=self.fused_gn_conv, dtype=self.dtype)
         self.norm_out = Normalize(dtype=self.dtype)
         z_out = 2 * self.z_channels if self.double_z else self.z_channels
         self.conv_out = nn.Conv(z_out, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype)
@@ -355,12 +403,14 @@ class _UpLevel(nn.Module):
     dropout: float
     has_upsample: bool
     remat: bool = False
+    fused_gn_conv: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         cls = _resblock_cls(self.remat)
         self.block = [
-            cls(in_channels=i, out_channels=o, dropout=self.dropout, dtype=self.dtype)
+            cls(in_channels=i, out_channels=o, dropout=self.dropout,
+                fused_gn_conv=self.fused_gn_conv, dtype=self.dtype)
             for i, o in self.block_specs
         ]
         if self.use_attn:
@@ -399,6 +449,7 @@ class Decoder(nn.Module):
     attn_type: str = "vanilla"
     double_z: bool = True  # accepted for config aliasing; unused
     remat: bool = False
+    fused_gn_conv: bool = False  # Pallas GN+swish+conv on the inference path
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -408,7 +459,8 @@ class Decoder(nn.Module):
         curr_res = self.resolution // 2 ** (num_resolutions - 1)
 
         self.conv_in = nn.Conv(block_in, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype)
-        self.mid = _Mid(block_in, self.dropout, dtype=self.dtype)
+        self.mid = _Mid(block_in, self.dropout, fused_gn_conv=self.fused_gn_conv,
+                        dtype=self.dtype)
 
         levels = [None] * num_resolutions
         for i_level in reversed(range(num_resolutions)):
@@ -424,6 +476,7 @@ class Decoder(nn.Module):
                 dropout=self.dropout,
                 has_upsample=i_level != 0,
                 remat=self.remat,
+                fused_gn_conv=self.fused_gn_conv,
                 dtype=self.dtype,
             )
             if i_level != 0:

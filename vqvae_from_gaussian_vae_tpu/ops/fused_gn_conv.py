@@ -110,8 +110,17 @@ def _kernel(h_total: int, block_h: int, x_ref, scale_ref, shift_ref, w_ref, b_re
     out_ref[0] = acc.reshape(bh, wdim, o).astype(out_ref.dtype)
 
 
+def fused_gn_swish_conv(x, gamma, beta, w, bias, num_groups: int = 32,
+                        block_h: int = 32, interpret=None) -> jax.Array:
+    """See _fused_gn_swish_conv; interpret=None auto-selects interpret mode
+    off-TPU so the fused flag works everywhere (CI runs on CPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_gn_swish_conv(x, gamma, beta, w, bias, num_groups, block_h, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("num_groups", "block_h", "interpret"))
-def fused_gn_swish_conv(
+def _fused_gn_swish_conv(
     x: jax.Array,       # (B, H, W, C)
     gamma: jax.Array,   # (C,) GroupNorm scale
     beta: jax.Array,    # (C,) GroupNorm bias
