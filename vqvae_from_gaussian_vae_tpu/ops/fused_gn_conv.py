@@ -13,10 +13,17 @@ input from HBM, applies ``swish(x*scale+shift)`` in VMEM, and accumulates
 the 3x3 conv as nine (rows*W, C) x (C, O) MXU matmuls.  Net effect: 2 of 5
 full-res passes per conv disappear.
 
-Halos: width is zero-padded inside VMEM (memset, no DMA); height halos are
-two conditional 1-row DMAs so borders never read out of bounds.
+Halos: width is value-padded inside VMEM; height halos are two conditional
+1-row DMAs so borders never read out of bounds.
 
-Inference-path only for now (no custom VJP); training uses the XLA path.
+Measured verdict (v5e, bs=16 flagship e2e, same tunnel state): 124 img/s
+fused vs 183 img/s XLA - the hand-scheduled halo DMA + nine sequential
+small-M matmuls lose to XLA's conv pipelining despite the saved passes, so
+the ResnetBlock flag (models/unet.py fused_gn_conv) stays OFF by default.
+Kept as a correct, CI-tested base for a revisit with double-buffered row
+bands and wider accumulation tiles.
+
+Inference-path only (no custom VJP); training uses the XLA path.
 """
 
 from __future__ import annotations
@@ -113,9 +120,26 @@ def _kernel(h_total: int, block_h: int, x_ref, scale_ref, shift_ref, w_ref, b_re
 def fused_gn_swish_conv(x, gamma, beta, w, bias, num_groups: int = 32,
                         block_h: int = 32, interpret=None) -> jax.Array:
     """See _fused_gn_swish_conv; interpret=None auto-selects interpret mode
-    off-TPU so the fused flag works everywhere (CI runs on CPU)."""
+    off-TPU so the fused flag works everywhere (CI runs on CPU).  block_h is
+    shrunk automatically until the kernel's live VMEM fits the ~16MB core
+    budget (raw block bf16 + fp32 normalized copies + fp32 accumulator)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    b, h, wd, c = x.shape
+    o = w.shape[-1]
+
+    def vmem_bytes(bh):
+        block = (bh + 2) * wd * c
+        return (
+            block * x.dtype.itemsize      # raw scratch
+            + 2 * block * 4               # normalized fp32 + padded copy
+            + bh * wd * o * 4             # accumulator
+            + bh * wd * o * x.dtype.itemsize  # out block
+            + 9 * c * o * x.dtype.itemsize    # weights
+        )
+
+    while block_h > 8 and (vmem_bytes(block_h) > 12 * 2**20 or h % block_h):
+        block_h //= 2
     return _fused_gn_swish_conv(x, gamma, beta, w, bias, num_groups, block_h, interpret)
 
 
