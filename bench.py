@@ -112,7 +112,9 @@ def main():
         + F.unet_decoder_flops(enc_cfg)
         + F.gq_search_flops(rows, reg_cfg["group"], reg_cfg["n_samples"])
     )
-    peak = F.TPU_PEAKS["v5e_bf16" if dtype == "bf16" else "v5e_fp32"]
+    # the MXU is the ceiling regardless of io dtype: XLA lowers fp32 convs
+    # to multi-pass bf16 (xla_allow_excess_precision), so one roofline serves
+    peak = F.TPU_PEAKS["v5e_bf16"]
     roofline_img_per_s = peak / flops_per_img
 
     watchdog.cancel()

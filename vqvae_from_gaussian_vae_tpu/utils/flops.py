@@ -12,9 +12,10 @@ from typing import Dict
 
 # per-chip peak dense matmul throughput (FLOP/s)
 TPU_PEAKS: Dict[str, float] = {
-    # v5e (v5 lite): 197 bf16 TFLOP/s, fp32 convs/matmuls run ~1/4 rate
+    # v5e (v5 lite) MXU peak; fp32 convs lower to multi-pass bf16 under
+    # xla_allow_excess_precision, so this is the ceiling for both dtypes
     "v5e_bf16": 197e12,
-    "v5e_fp32": 49.25e12,
+    "v5e_fp32": 197e12,
 }
 
 
