@@ -212,3 +212,16 @@ class ImageDataModuleFromConfig:
 
     def test_dataloader(self, **kw) -> _PrefetchLoader:
         return self._loader("test", **kw)
+
+
+class StableDataModuleFromConfig:
+    """(`/root/reference/pit/dataset/dataset.py:20`): the reference hard-exits
+    without its private `sdata` submodule; this framework has no analog data
+    service, so the class exists for inventory parity and fails loudly."""
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "StableDataModuleFromConfig depends on the reference's private "
+            "`sdata` package (the reference itself sys.exits without it); "
+            "use ImageDataModuleFromConfig or data.video instead"
+        )
