@@ -13,9 +13,18 @@ import torch
 def _install_timm_stub():
     if "timm" in sys.modules:
         return
-    timm = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    layers = types.ModuleType("timm.models.layers")
+    import importlib.machinery
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        # transformers probes deps via importlib.util.find_spec; a None
+        # __spec__ raises there, so give stubs a real-looking spec
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return m
+
+    timm = _mod("timm")
+    models = _mod("timm.models")
+    layers = _mod("timm.models.layers")
 
     def to_2tuple(x):
         return x if isinstance(x, tuple) else (x, x)
