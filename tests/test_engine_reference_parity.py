@@ -121,3 +121,65 @@ def test_reference_engine_end_to_end_parity():
     # quantized latents agree wherever indices agree
     if match == 1.0:
         np.testing.assert_allclose(np.asarray(jz), tz.numpy().transpose(0, 2, 3, 1), atol=1e-5)
+
+
+def test_reference_bsqvit_engine_parity():
+    """Same chain over the ViT transcoder family (blc format)."""
+    _install_stubs()
+    from pit.models.autoencoder import AutoencodingEngine as TorchEngine
+
+    import jax
+
+    from vqvae_from_gaussian_vae_tpu import instantiate_from_config
+    from vqvae_from_gaussian_vae_tpu.utils.config import load_config
+
+    overrides = [
+        "model.params.encoder_config.params.image_size=32",
+        "model.params.encoder_config.params.width=64",
+        "model.params.encoder_config.params.layers=2",
+        "model.params.encoder_config.params.heads=4",
+        "model.params.regularizer_config.params.n_samples=1024",
+        "model.params.regularizer_config.params.backend=torch",
+    ]
+    cfg = load_config("/root/reference/configs/bsqvit_gq_0.25.yaml", dotlist=overrides)
+    params = dict(cfg["model"]["params"])
+    params.pop("ckpt_path", None)
+
+    torch.manual_seed(0)
+    tengine = TorchEngine(
+        input_key="img",
+        eval_only=True,
+        encoder_config=params["encoder_config"],
+        decoder_config=params["decoder_config"],
+        regularizer_config=params["regularizer_config"],
+        loss_config=params["loss_config"],
+        clamp_range=params.get("clamp_range"),
+    ).eval()
+
+    cfg["model"]["params"]["loss_config"] = None
+    cfg["model"]["params"]["regularizer_config"]["params"]["backend"] = "xla"
+    jengine = instantiate_from_config(cfg["model"])
+    jengine.init_params(jax.random.PRNGKey(0))
+
+    from vqvae_from_gaussian_vae_tpu.utils.torch_convert import convert_state_dict
+
+    jparams, missing, unexpected = convert_state_dict(
+        tengine.state_dict(), jengine.params,
+        prefix_map={"encoder.": "encoder.", "decoder.": "decoder.",
+                    "regularization.": "regularization."},
+    )
+    assert not missing, missing
+    jengine.params = jparams
+
+    x = np.random.default_rng(2).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        _, tlog = tengine.encode(torch.from_numpy(x.transpose(0, 3, 1, 2)), return_reg_log=True)
+        txhat = tengine.dequant(tlog["indices"])
+
+    _, jlog = jengine.encode(x, return_reg_log=True)
+    match = (np.asarray(jlog["indices"]) == tlog["indices"].numpy()).mean()
+    assert match > 0.99, f"token index match {match}"
+    jxhat = jengine.dequant(tlog["indices"].numpy())
+    np.testing.assert_allclose(
+        np.asarray(jxhat), txhat.numpy().transpose(0, 2, 3, 1), atol=1e-3, rtol=1e-3
+    )
