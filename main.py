@@ -33,6 +33,9 @@ def get_parser():
     p.add_argument("--no-test", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first steps into <logdir>/trace")
+    p.add_argument("--lpips_weights", type=str, default="",
+                   help="path to the reference's vgg.pth LPIPS checkpoint; converted "
+                        "and installed into the frozen perceptual loss at init")
     return p
 
 
@@ -156,6 +159,7 @@ def main():
         use_wandb=args.wandb,
         wandb_project=args.projectname,
         run_name=os.path.basename(logdir),
+        lpips_weights=args.lpips_weights or None,
     )
     print(f"logdir: {logdir}  lr: {trainer.learning_rate}  devices: {trainer.mesh.devices.size}")
     if args.profile:

@@ -64,3 +64,31 @@ def test_phase_timer_and_step_rate():
     r = StepRate()
     assert r.tick(8) == 0.0  # first tick has no interval
     assert r.tick(8) > 0.0
+
+
+def test_convert_state_dict_embedding_param():
+    """torch nn.Embedding `<name>.weight` must land on a flax param whose
+    leaf IS the parent path (the VQ codebook, quantization/vq.py:36) —
+    regression for the silent random-codebook import (ADVICE r1)."""
+    import jax
+    import torch
+
+    from vqvae_from_gaussian_vae_tpu.quantization.vq import VQQuantizer
+    from vqvae_from_gaussian_vae_tpu.utils.torch_convert import convert_state_dict
+
+    q = VQQuantizer(format="bchw", n=32, dim=4)
+    template = q.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 2, 4)))["params"]
+
+    emb = torch.nn.Embedding(32, 4)
+    sd = {"regularization.embedding.weight": emb.weight.detach()}
+    params, missing, unexpected = convert_state_dict(
+        sd, {"regularization": template},
+        prefix_map={"regularization.": "regularization."},
+    )
+    assert unexpected == []
+    assert missing == []
+    np.testing.assert_allclose(
+        np.asarray(params["regularization"]["embedding"]),
+        emb.weight.detach().numpy(),
+        rtol=1e-6,
+    )

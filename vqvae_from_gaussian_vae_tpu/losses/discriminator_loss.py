@@ -34,6 +34,11 @@ class GeneralLPIPSWithDiscriminator(nn.Module):
     disc_factor: float = 1.0
     disc_weight: float = 1.0
     perceptual_weight: float = 1.0
+    # path to the reference's combined LPIPS checkpoint (vgg.pth,
+    # lpips/util.py:9); converted and installed by the Trainer at init so
+    # training uses the pretrained perceptual net (the reference
+    # auto-downloads it, lpips/loss/lpips.py:24-33 — no egress here)
+    lpips_weights: Optional[str] = None
     disc_loss: str = "hinge"
     scale_input_to_tgt_size: bool = False
     dims: int = 2
@@ -83,10 +88,21 @@ class GeneralLPIPSWithDiscriminator(nn.Module):
     # ------------------------------------------------------------ pieces
 
     def rec_loss(self, inputs, reconstructions):
-        """L1 + perceptual (discriminator_loss.py:253-269)."""
+        """L1 + perceptual (discriminator_loss.py:253-269).
+
+        dims > 2 is the reference's video branch (`:255-264`): frames are
+        folded into the batch for LPIPS — here (B, T, H, W, C) -> (B*T, H,
+        W, C) — and the per-frame distances broadcast back over T.
+        """
         rec = jnp.abs(inputs - reconstructions)
         if self.perceptual_weight > 0:
-            p = self.perceptual_loss(inputs, reconstructions)
+            if self.dims > 2:
+                b, t = inputs.shape[0], inputs.shape[1]
+                flat = lambda v: v.reshape((b * t,) + v.shape[2:])
+                p = self.perceptual_loss(flat(inputs), flat(reconstructions))
+                p = p.reshape((b, t) + p.shape[1:])
+            else:
+                p = self.perceptual_loss(inputs, reconstructions)
             rec = rec + self.perceptual_weight * p
         return rec
 

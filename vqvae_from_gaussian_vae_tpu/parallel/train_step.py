@@ -195,6 +195,11 @@ class TrainStepBuilder:
         grads, (log, reg_log) = jax.grad(self._ae_loss, has_aux=True)(
             (state.engine_params, logvar), state, x, sub, disc_active
         )
+        if not self.loss_mod.learn_logvar:
+            # mirror the reference's requires_grad=learn_logvar: a phantom
+            # logvar grad must not advance the (possibly norm-coupled)
+            # optimizer state (discriminator_loss.py:41-44)
+            grads = (grads[0], jnp.zeros_like(grads[1]))
         updates, new_opt = self.ae_opt.update(
             grads, state.ae_opt_state, (state.engine_params, logvar)
         )
@@ -227,7 +232,7 @@ class TrainStepBuilder:
         x = batch["img"]
         # recompute reconstructions without engine grads (the reference's
         # phase-1 forward, autoencoder.py:432 under opt.toggle_model)
-        _, xrec, _ = self.module.apply(
+        _, xrec, reg_log = self.module.apply(
             {"params": state.engine_params}, x, train=True, duals=state.duals,
             rngs={"sample": sub},
         )
@@ -240,6 +245,9 @@ class TrainStepBuilder:
             step=state.step + 1,
             loss_params={**state.loss_params, "discriminator": new_disc},
             disc_opt_state=new_opt,
+            # the reference's regularizer updates its dual lambdas on EVERY
+            # training forward, including the disc phase (gaussian.py:100-115)
+            duals=self._update_duals(state.duals, reg_log),
             rng=rng,
         )
         return new_state, log

@@ -80,8 +80,10 @@ class Trainer:
         use_wandb: bool = False,
         wandb_project: str = "vqvae_from_gaussian_vae_tpu",
         run_name: str = "run",
+        lpips_weights: Optional[str] = None,
     ):
         self.engine = engine
+        self.lpips_weights = lpips_weights
         self.data = data_module
         self.logdir = logdir
         self.max_steps = max_steps
@@ -141,9 +143,41 @@ class Trainer:
 
     # ------------------------------------------------------------- state
 
+    def _install_lpips_weights(self, state: TrainState) -> TrainState:
+        """Install pretrained LPIPS weights into the frozen perceptual net
+        (the reference auto-downloads vgg.pth at LPIPS(), lpips.py:24-33).
+        Configured via ``loss_config.params.lpips_weights`` or the
+        ``--lpips_weights`` CLI flag; warns loudly when training would run a
+        randomly-initialized perceptual loss."""
+        loss = getattr(self.engine, "loss", None)
+        if loss is None or not state.loss_params or "perceptual_loss" not in state.loss_params:
+            return state
+        path = self.lpips_weights or getattr(loss, "lpips_weights", None)
+        if path:
+            from vqvae_from_gaussian_vae_tpu.losses.lpips import load_lpips_weights
+
+            new_p, missing, unexpected = load_lpips_weights(
+                state.loss_params["perceptual_loss"], path
+            )
+            if missing or unexpected:
+                print(f"LPIPS weight load: missing={missing[:5]}... unexpected={unexpected[:5]}...")
+            print(f"installed LPIPS weights from {path}")
+            return state.replace(
+                loss_params={**state.loss_params, "perceptual_loss": new_p}
+            )
+        if getattr(loss, "perceptual_weight", 0) > 0:
+            print(
+                "WARNING: perceptual_weight > 0 but no LPIPS weights configured - "
+                "training will use a RANDOMLY-INITIALIZED perceptual net. Set "
+                "model.params.loss_config.params.lpips_weights (or --lpips_weights) "
+                "to the reference's vgg.pth."
+            )
+        return state
+
     def _init_or_resume(self, example_batch, resume: bool):
         state = self.builder.init_state(jax.random.PRNGKey(self.seed), example_batch,
                                         self.learning_rate)
+        state = self._install_lpips_weights(state)
         if resume and self.checkpointer.has("last"):
             state = self.checkpointer.restore(state)
             print(f"resumed from step {int(state.step)}")

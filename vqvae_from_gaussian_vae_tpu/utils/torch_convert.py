@@ -123,6 +123,12 @@ def convert_state_dict(
             if parent + (cand,) in flat_template:
                 target = parent + (cand,)
                 break
+        if target is None and leaf == "weight" and parent in flat_template:
+            # torch nn.Embedding stores its table as `<name>.weight` while a
+            # flax `self.param("<name>", ...)` leaf is the parent path itself
+            # (e.g. the VQ codebook `regularization.embedding.weight` ->
+            # `regularization/embedding`, vq.py:36)
+            target = parent
         if target is None:
             unexpected.append(key)
             continue
