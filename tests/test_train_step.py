@@ -147,3 +147,56 @@ def test_ae_step_changes_params_and_respects_frozen_lpips():
     # pre-disc-start the disc loss is 0 -> no movement; after start it moves
     for b, a in zip(jax.tree.leaves(disc_state_before), jax.tree.leaves(state.loss_params["discriminator"])):
         np.testing.assert_array_equal(b, np.asarray(a))
+
+
+def test_param_groups_freeze_and_lr_factor():
+    """trainable_ae_params regex groups: a frozen subtree stays bit-identical
+    over steps while matched groups move; lr overrides apply per group
+    (reference get_param_groups + lr_g_factor, autoencoder.py:549-592)."""
+    engine = _tiny_engine()
+    engine.trainable_ae_params = [["decoder.*"], ["loss.logvar"]]
+    engine.ae_optimizer_args = [{}, {"lr": 0.0}]
+    ae_opt, disc_opt = make_optimizers(
+        1e-3,
+        lr_g_factor=engine.lr_g_factor,
+        trainable_ae_params=engine.trainable_ae_params,
+        ae_optimizer_args=engine.ae_optimizer_args,
+    )
+    builder = TrainStepBuilder(engine, ae_opt, disc_opt)
+    state = builder.init_state(jax.random.PRNGKey(0), _batch())
+    enc0 = jax.tree.map(np.asarray, state.engine_params["encoder"])
+    dec0 = jax.tree.map(np.asarray, state.engine_params["decoder"])
+    logvar0 = float(state.loss_params["logvar"])
+    for i in range(3):
+        state, _ = builder.ae_step(state, _batch(seed=i), disc_active=False)
+    # frozen: encoder (matched no group) and logvar (group lr 0.0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        state.engine_params["encoder"], enc0,
+    )
+    assert float(state.loss_params["logvar"]) == logvar0
+    # trained: decoder moved
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state.engine_params["decoder"], dec0,
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_lr_g_factor_scales_generator_updates():
+    """lr_g_factor multiplies only the generator LR (autoencoder.py:582)."""
+    import copy
+
+    results = []
+    for factor in (1.0, 0.5):
+        engine = _tiny_engine()
+        engine.lr_g_factor = factor
+        ae_opt, disc_opt = make_optimizers(1e-3, lr_g_factor=factor)
+        builder = TrainStepBuilder(engine, ae_opt, disc_opt)
+        state = builder.init_state(jax.random.PRNGKey(0), _batch())
+        p0 = np.asarray(state.engine_params["decoder"]["conv_out"]["bias"])
+        state, _ = builder.ae_step(state, _batch(seed=1), disc_active=False)
+        p1 = np.asarray(state.engine_params["decoder"]["conv_out"]["bias"])
+        results.append(np.abs(p1 - p0).max())
+    # adam's first step is +-lr * sign-ish: halving lr halves the step
+    np.testing.assert_allclose(results[1], results[0] * 0.5, rtol=1e-3)

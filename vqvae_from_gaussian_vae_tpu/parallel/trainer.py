@@ -111,6 +111,11 @@ class Trainer:
             and engine.optimizer_config["target"].startswith("optax")
             else None,
             accumulate_grad_batches=accumulate_grad_batches,
+            lr_g_factor=getattr(engine, "lr_g_factor", 1.0),
+            trainable_ae_params=getattr(engine, "trainable_ae_params", None),
+            ae_optimizer_args=getattr(engine, "ae_optimizer_args", None),
+            trainable_disc_params=getattr(engine, "trainable_disc_params", None),
+            disc_optimizer_args=getattr(engine, "disc_optimizer_args", None),
         )
         self.builder = TrainStepBuilder(engine, ae_opt, disc_opt)
 
