@@ -73,10 +73,15 @@ def main():
 
     n_dev = len(jax.devices())
     mesh = make_mesh({"data": -1})
-    global_bs = args.bs * n_dev
+    multi = jax.process_count() > 1
+    # per-host loader feeds this host's mesh slice; shard_batch assembles the
+    # global array (the reference's DistributedSampler role, eval.py:97-107)
+    host_bs = args.bs * (jax.local_device_count() if multi else n_dev)
 
     dataset = SimpleDataset(args.dataset, image_size=args.img_size)
-    loader = _PrefetchLoader(dataset, global_bs, shuffle=False, drop_last=True)
+    loader = _PrefetchLoader(dataset, host_bs, shuffle=False, drop_last=True,
+                             shard_id=jax.process_index(),
+                             num_shards=jax.process_count())
 
     inception = InceptionV3(output_blocks=(3,), resize_input=True, normalize_input=False)
     inc_vars = inception.init(jax.random.PRNGKey(1), jnp.zeros((1, args.img_size, args.img_size, 3)))
@@ -133,6 +138,17 @@ def main():
         for i, batch in enumerate(loader):
             img = shard_batch(mesh, {"img": batch["img"]})["img"]
             out = step(params, inc_vars, lpips.variables, img, jax.random.fold_in(jax.random.PRNGKey(2), i))
+            if multi:
+                # data-sharded outputs are not fully addressable on any one
+                # host; gather the metric rows so every process prints the
+                # same global numbers (torch all_gather role, eval.py:166-203)
+                from jax.experimental import multihost_utils
+
+                gathered = multihost_utils.process_allgather(
+                    {k: out[k] for k in list(acc) + ["indices"] if out.get(k) is not None},
+                    tiled=True,
+                )
+                out = {**out, **gathered}
             for k in acc:
                 acc[k].append(np.asarray(out[k]))
             if out["indices"] is not None:
@@ -142,7 +158,13 @@ def main():
             if args.save:
                 from PIL import Image
 
-                rec = np.asarray(out["rec"])
+                if multi:
+                    # this host's rows, in local-batch order
+                    rec = np.concatenate(
+                        [np.asarray(s.data) for s in out["rec"].addressable_shards]
+                    )
+                else:
+                    rec = np.asarray(out["rec"])
                 for b, fpath in enumerate(batch["fpath"]):
                     fname = fpath.split("/")[-1] + ".png"
                     for arr, d in ((batch["img"][b], src_dir), (rec[b], rec_dir)):

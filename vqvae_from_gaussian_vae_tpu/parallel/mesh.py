@@ -62,13 +62,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch (dict of arrays) onto the mesh, data-sharded."""
+    """Place a host batch (dict of arrays) onto the mesh, data-sharded.
+
+    Single process: a plain device_put split.  Multi-host (the reference's
+    DistributedSampler role, `eval.py:97-107`): every process holds its OWN
+    per-host batch (the loaders are constructed with
+    shard_id=jax.process_index()) and the global array is assembled with
+    `jax.make_array_from_process_local_data` - global batch = per-host
+    batch x process_count.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sh) if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0 else x,
-        batch,
-        is_leaf=lambda x: not isinstance(x, dict),
-    )
+    multi = jax.process_count() > 1
+
+    def place(x):
+        if not (hasattr(x, "shape") and getattr(x, "ndim", 0) > 0):
+            return x
+        if multi:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(place, batch, is_leaf=lambda x: not isinstance(x, dict))
 
 
 def replicate(mesh: Mesh, tree):

@@ -39,6 +39,8 @@ class Checkpointer:
         self._ckpt = ocp.PyTreeCheckpointer()
 
     def save(self, state: TrainState, name: Optional[str] = None, force: bool = False):
+        if jax.process_index() != 0:
+            return []  # replicated state: host 0 writes (main.py:254-261 role)
         step = int(state.step)
         names = []
         if name is not None:
@@ -201,10 +203,14 @@ class Trainer:
     # ------------------------------------------------------------- loop
 
     def fit(self, resume: bool = False):
-        loader = self.data.train_dataloader()
+        # per-host file sharding (the reference's DistributedSampler role,
+        # eval.py:97-107): each process loads its own slice, shard_batch
+        # assembles the global array
+        shard_kw = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
+        loader = self.data.train_dataloader(**shard_kw)
         val_loader = None
         if self.val_every and "validation" in self.data.dataset_configs:
-            val_loader = self.data.val_dataloader()
+            val_loader = self.data.val_dataloader(**shard_kw)
 
         it = iter(loader)
         first = next(it)
@@ -245,7 +251,10 @@ class Trainer:
                     self.scalar_logger.log(scalars, step)
                     if self.wandb:
                         self.wandb.log(scalars, step)
-                if self.image_logger.should_log(step):
+                if self.image_logger.should_log(step) and jax.process_count() == 1:
+                    # image grids run a host-local forward; under multi-host
+                    # SPMD that would desync the processes - scalars (global)
+                    # still log everywhere
                     self.engine.params = self.state.engine_params
                     extra = None
                     if has_disc:
