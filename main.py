@@ -170,8 +170,10 @@ def main():
             trainer.fit(resume=bool(resume_dir))
         return
     trainer.fit(resume=bool(resume_dir))
-    if not args.no_test and "validation" in getattr(data, "dataset_configs", {}):
-        trainer.validate(data.val_dataloader())
+    if not args.no_test:
+        # full post-fit evaluation epoch (the reference's trainer.test,
+        # main.py:862-863)
+        trainer.test()
 
 
 if __name__ == "__main__":

@@ -127,3 +127,34 @@ def test_eval_cli(image_dir, tmp_path):
         assert key in out, out
     assert (tmp_path / "dump" / "src").exists()
     assert len(list((tmp_path / "dump" / "rec").iterdir())) > 0
+
+
+def test_checkpointer_top_k_best(tmp_path):
+    """Monitor-based top-k checkpoints: keeps the k best values, evicts the
+    worst, persists the ledger (reference ModelCheckpoint(save_top_k=3),
+    main.py:679-682)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from vqvae_from_gaussian_vae_tpu.parallel.trainer import Checkpointer
+    from vqvae_from_gaussian_vae_tpu.parallel.train_state import TrainState
+
+    def state_at(step):
+        return TrainState(step=jnp.int32(step), engine_params={"w": jnp.ones(2)},
+                          loss_params=None, ae_opt_state=(), disc_opt_state=(),
+                          duals={}, rng=jnp.zeros(2, jnp.uint32))
+
+    ck = Checkpointer(str(tmp_path), every_n=0, keep_every_n=0)
+    values = [(1, 5.0), (2, 3.0), (3, 4.0), (4, 6.0), (5, 1.0)]
+    for step, v in values:
+        ck.save_best(state_at(step), v, "val/loss/rec", top_k=3, mode="min")
+    ledger = json.load(open(os.path.join(ck.dir, "best.json")))
+    kept = {e["name"]: e["value"] for e in ledger}
+    # best three of {5,3,4,6,1} = {1,3,4}
+    assert sorted(kept.values()) == [1.0, 3.0, 4.0]
+    for e in ledger:
+        assert os.path.isdir(os.path.join(ck.dir, e["name"]))
+    # evicted snapshots are gone
+    assert not os.path.isdir(os.path.join(ck.dir, "best_step_00000001"))
+    assert not os.path.isdir(os.path.join(ck.dir, "best_step_00000004"))

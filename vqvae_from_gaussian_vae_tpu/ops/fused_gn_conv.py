@@ -57,10 +57,10 @@ def gn_affine(x, gamma, beta, num_groups: int = 32, eps: float = 1e-6):
 def _kernel(n_bands: int, block_h: int, has_residual: bool, *refs):
     if has_residual:
         (scale_ref, shift_ref, w3_ref, bias_ref, top_ref, ctr_ref, bot_ref,
-         res_ref, out_ref) = refs
+         res_ref, out_ref, xc_ref) = refs
     else:
         (scale_ref, shift_ref, w3_ref, bias_ref, top_ref, ctr_ref, bot_ref,
-         out_ref) = refs
+         out_ref, xc_ref) = refs
     k = pl.program_id(0)
     bi = k // n_bands
     hi = k % n_bands
@@ -80,15 +80,17 @@ def _kernel(n_bands: int, block_h: int, has_residual: bool, *refs):
     valid = ~((rows == 0) & (hi == 0))
     valid &= ~((rows == bh + 1) & (hi == n_bands - 1))
     xn = jnp.where(valid, xn, 0.0).astype(xb.dtype)
-    # column im2col: width halo as value pad, 3 shifted copies -> lane concat
+    # column im2col: width halo as value pad, 3 shifted copies assembled in a
+    # VMEM scratch (stores normalize the sublane offsets; a lane-concat of
+    # offset slices is unsupported by Mosaic)
     xp = jnp.pad(xn, ((0, 0), (1, 1), (0, 0)))
-    xc = jnp.concatenate(
-        [xp[:, 0:wdim], xp[:, 1:wdim + 1], xp[:, 2:wdim + 2]], axis=-1
-    )  # (bh+2, W, 3C)
+    c = c3 // 3
+    for kcol in range(3):
+        xc_ref[:, :, kcol * c:(kcol + 1) * c] = xp[:, kcol:kcol + wdim]
 
     acc = jnp.zeros((bh * wdim, o), jnp.float32)
     for a in range(3):
-        tile = xc[a:a + bh].reshape(bh * wdim, c3)
+        tile = xc_ref[a:a + bh].reshape(bh * wdim, c3)
         acc = acc + jnp.dot(tile, w3_ref[a], preferred_element_type=jnp.float32)
     acc = acc + bias_ref[0].astype(jnp.float32)[None, :]
     if has_residual:
@@ -188,6 +190,7 @@ def _fused_gn_swish_conv(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_h, wd, o), ctr_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, o), dtype),
+        scratch_shapes=[pltpu.VMEM((block_h + 2, wd, 3 * c), dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -62,6 +62,38 @@ class Checkpointer:
     def has(self, name: str = "last") -> bool:
         return os.path.exists(os.path.join(self.dir, name))
 
+    def save_best(self, state: TrainState, value: float, monitor: str,
+                  top_k: int = 3, mode: str = "min"):
+        """Monitor-based top-k checkpoints (the reference's
+        ModelCheckpoint(monitor=model.monitor, save_top_k=3),
+        `main.py:679-682`).  Keeps the k best snapshots as ``best_step_*``
+        dirs plus a ``best.json`` ledger."""
+        import json
+        import shutil
+
+        if jax.process_index() != 0:
+            return None
+        ledger_path = os.path.join(self.dir, "best.json")
+        ledger = []
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                ledger = json.load(f)
+        sign = 1.0 if mode == "min" else -1.0
+        if len(ledger) >= top_k and sign * value >= max(sign * e["value"] for e in ledger):
+            return None
+        name = f"best_step_{int(state.step):08d}"
+        self._ckpt.save(os.path.join(self.dir, name),
+                        jax.tree.map(np.asarray, state), force=True)
+        ledger = [e for e in ledger if e["name"] != name]
+        ledger.append({"name": name, "value": float(value), "monitor": monitor})
+        ledger.sort(key=lambda e: sign * e["value"])
+        for e in ledger[top_k:]:
+            shutil.rmtree(os.path.join(self.dir, e["name"]), ignore_errors=True)
+        ledger = ledger[:top_k]
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=1)
+        return name
+
 
 class Trainer:
     def __init__(
@@ -127,6 +159,13 @@ class Trainer:
             every_n=ckpt_cfg.get("every_n_train_steps", 5000),
             keep_every_n=ckpt_cfg.get("keep_every_n_train_steps", 10000),
         )
+        # monitored top-k selection (main.py:679-682): the engine's monitor
+        # attribute, overridable by checkpoint config
+        self.monitor = ckpt_cfg.get("monitor", getattr(engine, "monitor", None))
+        self.save_top_k = int(ckpt_cfg.get("save_top_k", 3))
+        self.monitor_mode = ckpt_cfg.get("mode", "min")
+        if self.monitor:
+            print(f"Monitoring {self.monitor} as checkpoint metric (top-{self.save_top_k}).")
         self.scalar_logger = CSVLogger(logdir)
         self.wandb = WandbLogger(wandb_project, run_name) if use_wandb else None
         self.image_logger = ImageLogger(**(image_logger_cfg or {}))
@@ -302,11 +341,11 @@ class Trainer:
         self.checkpointer.save(self.state, name="last", force=True)
         return self.state
 
-    def validate(self, loader, max_batches: int = 50):
+    def validate(self, loader, max_batches: Optional[int] = 50):
         logs = []
         with self.mesh:
             for i, batch in enumerate(loader):
-                if i >= max_batches:
+                if max_batches is not None and i >= max_batches:
                     break
                 sharded = shard_batch(self.mesh, {"img": batch["img"]})
                 logs.append(self.builder.eval_step(self.state, sharded))
@@ -317,4 +356,25 @@ class Trainer:
         if self.wandb:
             self.wandb.log(mean, int(self.state.step))
         print({k: round(v, 5) for k, v in sorted(mean.items())[:8]})
+        if self.monitor and self.monitor in mean:
+            saved = self.checkpointer.save_best(
+                self.state, mean[self.monitor], self.monitor,
+                top_k=self.save_top_k, mode=self.monitor_mode,
+            )
+            if saved:
+                print(f"saved {saved} ({self.monitor}={mean[self.monitor]:.5f})")
         return mean
+
+    def test(self, loader=None):
+        """Full validation epoch after fit (the reference's `trainer.test`,
+        `main.py:862-863`): runs every batch, logs under the same scalar
+        keys."""
+        if loader is None:
+            shard_kw = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
+            if "test" in self.data.dataset_configs:
+                loader = self.data.test_dataloader(**shard_kw)
+            elif "validation" in self.data.dataset_configs:
+                loader = self.data.val_dataloader(**shard_kw)
+            else:
+                return {}
+        return self.validate(loader, max_batches=None)
