@@ -171,5 +171,10 @@ def test_third_party_wrappers():
     xhat = vae.decode(z)
     assert xhat.shape == x.shape
 
-    with pytest.raises(NotImplementedError):
-        AutoencoderKLQwenImage()
+    # Qwen/WAN wrappers are real now (models/wan.py); full protocol + torch
+    # parity live in tests/test_wan.py — here just the tiny-config protocol
+    qwen = AutoencoderKLQwenImage(base_dim=8, z_dim=4, dim_mult=(1, 2),
+                                  num_res_blocks=1, temperal_downsample=(False,))
+    zq, logq = qwen.encode(x)
+    assert zq.shape == (1, 16, 16, 4) and logq == {}
+    assert qwen.decode(zq).shape == x.shape

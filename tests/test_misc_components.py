@@ -37,6 +37,42 @@ def test_attention_zoo_shapes():
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
 
 
+def test_attention_zoo_dormant_classes():
+    """The reference's dormant SD classes (`attention.py:178,234,599,750`)
+    are ported: SelfAttention, SpatialSelfAttention,
+    BasicTransformerSingleLayerBlock, SimpleTransformer."""
+    from vqvae_from_gaussian_vae_tpu.models.attention import (
+        BasicTransformerSingleLayerBlock,
+        SelfAttention,
+        SimpleTransformer,
+        SpatialSelfAttention,
+    )
+
+    rng = {"params": jax.random.PRNGKey(0)}
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 32)), jnp.float32)
+    ctx = jnp.asarray(np.random.default_rng(1).standard_normal((2, 7, 24)), jnp.float32)
+
+    sa = SelfAttention(dim=32, num_heads=4)
+    v = sa.init(rng, x)
+    assert sa.apply(v, x).shape == x.shape
+    # packed qkv Linear like timm: one (32, 96) kernel
+    assert v["params"]["qkv"]["kernel"].shape == (32, 96)
+
+    img = jnp.asarray(np.random.default_rng(2).standard_normal((1, 8, 8, 32)), jnp.float32)
+    ssa = SpatialSelfAttention(in_channels=32)
+    v = ssa.init(rng, img)
+    assert ssa.apply(v, img).shape == img.shape
+
+    blk = BasicTransformerSingleLayerBlock(dim=32, n_heads=4, d_head=8, context_dim=24)
+    v = blk.init(rng, x, ctx)
+    assert blk.apply(v, x, ctx).shape == x.shape
+
+    tr = SimpleTransformer(dim=32, depth=2, heads=4, dim_head=8, context_dim=24)
+    v = tr.init(rng, x, ctx)
+    assert tr.apply(v, x, ctx).shape == x.shape
+    assert "layers_1" in v["params"]
+
+
 def test_video_dataset_gif(tmp_path):
     from PIL import Image
 

@@ -96,16 +96,33 @@ class LPIPS(nn.Module):
         return val
 
 
-def load_lpips_weights(params_template, vgg_pth: Optional[str] = None):
-    """Convert the reference's combined LPIPS checkpoint (vgg.pth from
-    `lpips/util.py:9`: keys like ``lin0.model.1.weight``) plus torchvision's
-    vgg16 state_dict onto the LPIPS params template."""
+def load_lpips_weights(params_template, vgg_pth=None, state_dict=None):
+    """Convert the reference's combined LPIPS checkpoint onto the template.
+
+    Handles the actual vgg.pth layout (`lpips/util.py:9` heibox asset, the
+    full torch-LPIPS state_dict): ``lin{k}.model.1.weight`` heads,
+    ``net.slice{s}.{n}.weight|bias`` VGG convs — the slice submodules keep
+    torchvision's *global* ``features`` indices (`lpips.py:100-118`), so
+    ``net.slice3.12`` maps to our ``net/features_12`` — and the
+    ``scaling_layer.shift/scale`` buffers (fixed constants here, verified
+    then dropped).  Raw torchvision vgg16 ``features.N.*`` keys also work.
+    """
+    import re as _re
+
     from vqvae_from_gaussian_vae_tpu.utils.torch_convert import convert_state_dict
 
-    if vgg_pth is None:
-        return params_template, ["no weights supplied"], []
-    import torch
+    if state_dict is None:
+        if vgg_pth is None:
+            return params_template, ["no weights supplied"], []
+        import torch
 
-    sd = torch.load(vgg_pth, map_location="cpu", weights_only=False)
-    prefix_map = {"lin": "lin", "net.": "net.", "features.": "net.features."}
-    return convert_state_dict(sd, params_template, prefix_map=prefix_map)
+        state_dict = torch.load(vgg_pth, map_location="cpu", weights_only=False)
+
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("scaling_layer."):
+            continue  # constants baked into LPIPS.setup (identical values)
+        k = _re.sub(r"^net\.slice\d+\.(\d+)\.", r"net.features.\1.", k)
+        k = _re.sub(r"^features\.(\d+)\.", r"net.features.\1.", k)
+        sd[k] = v
+    return convert_state_dict(sd, params_template)

@@ -55,6 +55,54 @@ class CrossAttention(nn.Module):
 MemoryEfficientCrossAttention = CrossAttention
 
 
+class SelfAttention(nn.Module):
+    """(`attention.py:178-231`): timm-style multi-head self-attention with a
+    packed qkv Linear.  The reference's three attn_modes (xformers / torch /
+    math) are one fused einsum chain on TPU."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, l, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class SpatialSelfAttention(nn.Module):
+    """(`attention.py:234-276`): single-head attention over the spatial grid
+    with 1x1-conv q/k/v/proj and a GroupNorm — the SD flavour of the UNet's
+    AttnBlock, kept for layout parity (NHWC here)."""
+
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = Normalize("norm")(x)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, h * w, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, h * w, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, h * w, c)
+        attn = jnp.einsum("bqc,bkc->bqk", q, k).astype(jnp.float32) * (c ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        y = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+        return x + nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+
+
 class GEGLU(nn.Module):
     dim_out: int
     dtype: Any = jnp.float32
@@ -113,6 +161,50 @@ class BasicTransformerBlock(nn.Module):
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
             nn.LayerNorm(name="norm3")(x)
         )
+        return x
+
+
+class BasicTransformerSingleLayerBlock(nn.Module):
+    """(`attention.py:599-640`): one (cross-)attention + FF block, pre-LN —
+    the two reference attn_modes are the same fused math here."""
+
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+    gated_ff: bool = True
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        attn1 = CrossAttention(self.dim, context_dim=self.context_dim,
+                               heads=self.n_heads, dim_head=self.d_head,
+                               dtype=self.dtype, name="attn1")
+        x = attn1(nn.LayerNorm(name="norm1")(x), context=context) + x
+        x = FeedForward(self.dim, glu=self.gated_ff, dtype=self.dtype,
+                        name="ff")(nn.LayerNorm(name="norm2")(x)) + x
+        return x
+
+
+class SimpleTransformer(nn.Module):
+    """(`attention.py:750-783`): a plain stack of BasicTransformerBlocks."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        cls = nn.remat(BasicTransformerBlock) if self.remat else BasicTransformerBlock
+        for i in range(self.depth):
+            x = cls(self.dim, self.heads, self.dim_head,
+                    context_dim=self.context_dim, dtype=self.dtype,
+                    name=f"layers_{i}")(x, context)
         return x
 
 

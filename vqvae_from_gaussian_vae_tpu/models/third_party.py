@@ -174,19 +174,34 @@ class AutoencoderKLHYImage2(_FrozenVAEBase):
 
 class AutoencoderKLQwenImage(_FrozenVAEBase):
     """(`autoencoder.py:25-41`): the Qwen-Image VAE is a causal-3D WAN-style
-    autoencoder applied to single frames; requires a converted checkpoint +
-    the 3D backbone, tracked as a follow-up.  Kept as an explicit stub so
-    config references fail loudly rather than silently degrade."""
+    autoencoder applied to single frames (``x[:, :, None]``); built on the
+    flax WAN backbone (models/wan.py).  Defaults match the published
+    Wan2.1 / Qwen-Image VAE config (base 96, z=16, f=8 spatial, 4x temporal)."""
 
-    def __init__(self, **kwargs):
-        raise NotImplementedError(
-            "AutoencoderKLQwenImage needs the causal-3D WAN backbone; no "
-            "pretrained asset is available in this environment"
-        )
+    def __init__(self, ckpt_path: Optional[str] = None, seed: int = 0, **wan_kwargs):
+        super().__init__(seed)
+        from vqvae_from_gaussian_vae_tpu.models.wan import AutoencoderKLWan
+
+        self.model = AutoencoderKLWan(seed=seed, **wan_kwargs)
+        if ckpt_path:
+            self.model.load_checkpoint(ckpt_path)
+        else:
+            print(f"WARNING: {type(self).__name__} running with random weights "
+                  f"(pass ckpt_path with converted diffusers weights)")
+
+    def encode(self, x, return_reg_log: bool = False, unregularized: bool = False):
+        # single image -> one-frame video, sample, drop the time axis
+        posterior = self.model.encode(x[:, None])
+        z = posterior.sample(self._next_rng())
+        return z[:, 0], {}
+
+    def decode(self, z):
+        return self.model.decode(z[:, None])[:, 0]
 
 
 class AutoencoderKLWAN(AutoencoderKLQwenImage):
-    """(`autoencoder.py:43-59`)."""
+    """(`autoencoder.py:43-59`): the Wan2.2-I2V VAE — identical architecture
+    and protocol, different pretrained weights."""
 
 
 class AutoencoderKLHYImage3(_FrozenVAEBase):

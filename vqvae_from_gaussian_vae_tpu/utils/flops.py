@@ -95,3 +95,68 @@ def vit_flops(cfg: Dict) -> float:
 def gq_search_flops(rows: int, group: int, n_samples: int) -> float:
     """One (R, 2G) x (2G, N) matmul (ops/gq_search.py)."""
     return 2.0 * rows * 2 * group * n_samples
+
+
+def vgg16_flops(h: int, w: int) -> float:
+    """LPIPS VGG16 trunk forward (losses/lpips.py; torchvision layout).
+    The 1x1 NetLin heads are negligible."""
+    total, cin = 0.0, 3
+    for width, n in ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3)):
+        for _ in range(n):
+            total += conv2d_flops(h, w, cin, width)
+            cin = width
+        h, w = h // 2, w // 2
+    return total
+
+
+def nlayer_disc_flops(h: int, w: int, ndf: int = 160, n_layers: int = 6,
+                      in_ch: int = 3) -> float:
+    """PatchGAN discriminator forward (losses/discriminator.py, pix2pix
+    layout: 4x4 convs, n_layers stride-2 then one stride-1 + 1-ch head)."""
+    total = conv2d_flops(h // 2, w // 2, in_ch, ndf, k=4)
+    nf_prev, cur_h, cur_w = 1, h // 2, w // 2
+    for n in range(1, n_layers):
+        nf = min(2 ** n, 8)
+        cur_h, cur_w = cur_h // 2, cur_w // 2
+        total += conv2d_flops(cur_h, cur_w, ndf * nf_prev, ndf * nf, k=4)
+        nf_prev = nf
+    nf = min(2 ** n_layers, 8)
+    total += conv2d_flops(cur_h, cur_w, ndf * nf_prev, ndf * nf, k=4)
+    total += conv2d_flops(cur_h, cur_w, ndf * nf, 1, k=4)
+    return total
+
+
+def gan_train_step_flops(enc_cfg: Dict, img: int = 256, ndf: int = 160,
+                         n_layers: int = 6, adaptive: bool = True) -> Dict[str, float]:
+    """Per-image FLOPs of the two GAN training phases
+    (parallel/train_step.py), for rooflining the training path.
+
+    Accounting (conv-matmul FLOPs only; GN/activations are bandwidth, the
+    GQ train branch is elementwise):
+      * trainable nets cost fwd + full bwd = 3x forward (dgrad + wgrad);
+      * frozen nets on the loss path (LPIPS, disc in g_loss) cost
+        fwd + dgrad = 2x forward on the gradient branch, 1x on pure-input
+        branches (LPIPS(x));
+      * the adaptive d_weight (`discriminator_loss.py:211-220` as targeted
+        VJPs, train_step.py:_adaptive_d_weight) re-runs the nll head
+        (LPIPS fwd+dgrad) and the g head (disc fwd+dgrad); the conv_out-only
+        decode_last_layer re-run is negligible.
+    """
+    enc = unet_encoder_flops(enc_cfg)
+    dec = unet_decoder_flops(enc_cfg)
+    lpips = vgg16_flops(img, img)
+    disc = nlayer_disc_flops(img, img, ndf, n_layers)
+    ae = 3.0 * (enc + dec)            # engine fwd + bwd
+    ae += lpips                       # LPIPS(x): forward only
+    ae += 2.0 * lpips                 # LPIPS(xrec): fwd + dgrad back to xrec
+    ae += 2.0 * disc                  # g_loss disc(xrec): fwd + dgrad
+    adaptive_extra = 2.0 * lpips + 2.0 * disc if adaptive else 0.0
+    disc_phase = (enc + dec)          # fresh xrec, no grad
+    disc_phase += 2.0 * 3.0 * disc    # disc(x) and disc(xrec), trained
+    return {
+        "ae_step": ae + adaptive_extra,
+        "ae_step_no_adaptive": ae,
+        "adaptive_extra": adaptive_extra,
+        "disc_step": disc_phase,
+        "pair_avg": (ae + adaptive_extra + disc_phase) / 2.0,
+    }

@@ -64,8 +64,14 @@ def _adapt(value: np.ndarray, template: np.ndarray, leaf_name: str) -> np.ndarra
             v = v.transpose(2, 3, 1, 0)
         elif tuple(v.transpose(0, 2, 3, 1).shape) == t_shape:  # NCHW stat -> NHWC
             v = v.transpose(0, 2, 3, 1)
+    elif v.ndim == 5 and len(t_shape) == 5:
+        if tuple(v.transpose(2, 3, 4, 1, 0).shape) == t_shape:  # Conv3d OIDHW -> DHWIO
+            v = v.transpose(2, 3, 4, 1, 0)
     elif v.ndim == 2 and len(t_shape) == 2 and leaf_name == "kernel":
         v = v.T
+    if tuple(v.shape) != t_shape and tuple(np.squeeze(v).shape) == t_shape:
+        # broadcast-shaped affine params, e.g. WAN RMS gamma (C,1,1,1) -> (C,)
+        v = np.squeeze(v)
     if tuple(v.shape) != t_shape:
         raise ValueError(f"shape mismatch for {leaf_name}: torch {value.shape} -> {v.shape}, expected {t_shape}")
     return v.astype(np.asarray(template).dtype)
