@@ -28,6 +28,32 @@ def nonlinearity(x):
     return x * jax.nn.sigmoid(x)  # swish (unet.py:49-51)
 
 
+def group_norm_from_stats(x, stats, scale, bias, num_groups: int = 32,
+                          eps: float = 1e-6):
+    """GroupNorm(32) normalize from precomputed channel statistics.
+
+    ``stats`` is (B, 2, C) f32 — (sum, sum-of-squares over H*W) — as emitted
+    by the fused resample Pallas kernels (ops/upsample_conv.py).  With the
+    statistics reduce done in-kernel, the normalize here is pure elementwise
+    math that XLA fuses into the following conv's prologue, restoring the
+    fusion structure the plain path gets for free (the conv fusions emit
+    (out, sum, sumsq) tuples — see the Upsample docstring).
+    """
+    b, h, w, c = x.shape
+    cg = c // num_groups
+    s = stats[:, 0].reshape(b, num_groups, cg).sum(-1)
+    ss = stats[:, 1].reshape(b, num_groups, cg).sum(-1)
+    n = h * w * cg
+    mean = s / n
+    var = jnp.maximum(ss / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    mean = jnp.repeat(mean, cg, axis=-1)[:, None, None, :]
+    inv = jnp.repeat(inv, cg, axis=-1)[:, None, None, :]
+    y = (x.astype(jnp.float32) - mean) * inv
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def Normalize(name=None, num_groups: int = 32, dtype=None) -> nn.GroupNorm:
     """GroupNorm(32, eps=1e-6) (unet.py:54-57).  dtype=None inherits the
     activation dtype (bf16 I/O on TPU); flax always computes the mean/var
@@ -40,13 +66,75 @@ def Normalize(name=None, num_groups: int = 32, dtype=None) -> nn.GroupNorm:
 class Upsample(nn.Module):
     """Nearest x2 then 3x3 conv (unet.py:60-73).
 
-    fused=True rewrites the op as a low-resolution phase conv (nearest
-    upsampling duplicates pixels, so the 3x3 taps collapse to four 2x2
-    phase kernels - 16/36 of the FLOPs, exact to fp rounding, same param
-    layout).  Measured on v5e the unaligned (H+1, W+1) intermediate and the
-    phase interleave cost more than the saved FLOPs, so the plain path
-    stays the default; the fused path is kept for larger-scale factors and
-    future revisits.
+    fused=True (default) routes the TPU inference path through the fused
+    phase-conv Pallas kernel (ops/upsample_conv.py): nearest upsampling
+    duplicates pixels, so the 3x3 taps collapse to four 2x2 phase kernels —
+    16/36 of the FLOPs — and the 4x-size upsampled intermediate never
+    touches HBM.  Getting the e2e win required two further pieces (history
+    in git): (1) a stats epilogue — the plain-XLA decoder fuses each conv
+    with the next GroupNorm's statistics reduce, so the kernel emits
+    per-sample (sum, sumsq) and the consumer resblock normalizes via
+    group_norm_from_stats, elementwise math XLA fuses into its conv; (2)
+    layout preservation — XLA lays conv activations out as {3,0,2,1}
+    (physical H, W, B, C) while pallas pins row-major, so the kernel
+    computes on logically-(H,W,B,C) arrays and the wrapping transposes are
+    free bitcasts.  Measured v5e decoder e2e (bs=16, bf16): 49.7 ms fused
+    vs 60.2 ms plain (1.21x).  Same param layout (conv/{kernel,bias});
+    exact to bf16 rounding; training and non-TPU backends always use the
+    plain XLA path (the kernel has no VJP).
+    """
+
+    in_channels: int
+    with_conv: bool = True
+    fused: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, with_stats: bool = False):
+        b, h, w, c = x.shape
+        if not self.with_conv:
+            y = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            return (y, None) if with_stats else y
+        o = self.in_channels
+        conv = nn.Conv(o, (3, 3), padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype, name="conv")
+        use_fused = (
+            self.fused
+            and not train
+            and jax.default_backend() == "tpu"
+            and h % 4 == 0
+            # bf16 only: the Pallas fp32 matmul uses fewer bf16 passes than
+            # XLA's excess-precision fp32 convs (measured ~3e-2 divergence);
+            # fp32 inference keeps exact plain-XLA parity
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+        )
+        if not use_fused or self.is_initializing():
+            # init always takes this path so the conv/{kernel,bias} params
+            # exist identically for both; the fused path reuses them below
+            y = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            y = conv(y)
+            return (y, None) if with_stats else y
+
+        from vqvae_from_gaussian_vae_tpu.ops.upsample_conv import (
+            upsample_nearest_conv3x3_gn,
+        )
+
+        cp = self.variables["params"]["conv"]
+        y, stats = upsample_nearest_conv3x3_gn(
+            x.astype(self.dtype), cp["kernel"].astype(self.dtype), cp["bias"])
+        return (y, stats) if with_stats else y
+
+
+class Downsample(nn.Module):
+    """Asymmetric (0,1) pad + stride-2 VALID conv (unet.py:76-97).
+
+    fused=True routes the TPU inference path through the layout-preserving
+    phase-matmul Pallas kernel (ops/downsample_conv.py): XLA's stride-2
+    conv runs at 15-34% MXU at the encoder shapes (per-op trace) while the
+    kernel's 9 dense phase matmuls are FLOP-exact; it also emits the
+    output's GN statistics so the consumer GroupNorm costs no extra
+    full-res pass.  Same param layout (conv/{kernel,bias}); training and
+    non-TPU backends use the plain XLA path (no VJP).
     """
 
     in_channels: int
@@ -55,84 +143,32 @@ class Upsample(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        b, h, w, c = x.shape
+    def __call__(self, x, train: bool = False, with_stats: bool = False):
         if not self.with_conv:
-            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        if not self.fused:
-            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            return nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                           dtype=self.dtype, name="conv")(x)
-
-        o = self.in_channels
-        # params live under the same conv/{kernel,bias} path as the plain
-        # nn.Conv child, so checkpoints and converters are unaffected
-        conv = self.param(
-            "conv",
-            lambda rng: {
-                "kernel": nn.initializers.lecun_normal()(rng, (3, 3, c, o)),
-                "bias": jnp.zeros((o,), jnp.float32),
-            },
+            y = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            return (y, None) if with_stats else y
+        conv = nn.Conv(self.in_channels, (3, 3), strides=(2, 2), padding="VALID",
+                       dtype=self.dtype, name="conv")
+        use_fused = (
+            self.fused
+            and not train
+            and jax.default_backend() == "tpu"
+            and x.shape[1] % 4 == 0
+            and jnp.dtype(self.dtype) == jnp.bfloat16  # see Upsample: fp32 stays plain
         )
-        w33 = conv["kernel"]
-        # phase kernels: per output parity (di, dj), the 3 taps collapse to 2
-        # (duplicated-pixel groups); groups: di=0 -> [{0},{1,2}], di=1 -> [{0,1},{2}]
-        def row_groups(d):
-            return ([0], [1, 2]) if d == 0 else ([0, 1], [2])
+        if not use_fused or self.is_initializing():
+            y = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            y = conv(y)
+            return (y, None) if with_stats else y
 
-        phase_kernels = []
-        for di in (0, 1):
-            for dj in (0, 1):
-                gr, gc = row_groups(di), row_groups(dj)
-                k22 = jnp.stack(
-                    [
-                        jnp.stack(
-                            [sum(w33[r, s] for r in gr[a] for s in gc[bb]) for bb in (0, 1)],
-                            axis=0,
-                        )
-                        for a in (0, 1)
-                    ],
-                    axis=0,
-                )  # (2, 2, C, O)
-                phase_kernels.append(k22)
-        wk = jnp.concatenate(phase_kernels, axis=-1)  # (2, 2, C, 4O)
+        from vqvae_from_gaussian_vae_tpu.ops.downsample_conv import (
+            downsample_conv3x3_gn,
+        )
 
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        out = jax.lax.conv_general_dilated(
-            xp.astype(self.dtype), wk.astype(self.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )  # (B, H+1, W+1, 4O)
-        phases = []
-        for p_idx, (di, dj) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            phases.append(out[:, di : di + h, dj : dj + w, p_idx * o : (p_idx + 1) * o])
-        # interleave phases: y[2i+di, 2j+dj] = phase(di,dj)[i, j]
-        y = jnp.stack(
-            [
-                jnp.stack([phases[0], phases[1]], axis=3),  # di=0: dj=0,1
-                jnp.stack([phases[2], phases[3]], axis=3),  # di=1
-            ],
-            axis=2,
-        )  # (B, H, 2, W, 2, O)
-        y = y.reshape(b, 2 * h, 2 * w, o)
-        return y + conv["bias"].astype(y.dtype)
-
-
-class Downsample(nn.Module):
-    """Asymmetric (0,1) pad + stride-2 VALID conv (unet.py:76-97)."""
-
-    in_channels: int
-    with_conv: bool = True
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        if self.with_conv:
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            x = nn.Conv(self.in_channels, (3, 3), strides=(2, 2), padding="VALID",
-                        dtype=self.dtype, name="conv")(x)
-        else:
-            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        return x
+        cp = self.variables["params"]["conv"]
+        y, stats = downsample_conv3x3_gn(
+            x.astype(self.dtype), cp["kernel"].astype(self.dtype), cp["bias"])
+        return (y, stats) if with_stats else y
 
 
 class ResnetBlock(nn.Module):
@@ -152,13 +188,17 @@ class ResnetBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, in_stats=None):
         out_ch = self.out_channels or self.in_channels
         use_fused = (
             self.fused_gn_conv
             and not train
             and self.dropout == 0.0
             and x.shape[1] % 8 == 0
+        )
+        use_in_stats = (
+            in_stats is not None and not train
+            and not use_fused and not self.is_initializing()
         )
         if use_fused:
             from vqvae_from_gaussian_vae_tpu.ops.fused_gn_conv import fused_gn_swish_conv
@@ -187,7 +227,13 @@ class ResnetBlock(nn.Module):
                 h, n2["scale"], n2["bias"], c2["kernel"], c2["bias"], block_h=bh,
             )
         else:
-            h = Normalize("norm1", dtype=self.dtype)(x)
+            if use_in_stats:
+                # the producing resample kernel already reduced the GN
+                # statistics; normalize is elementwise -> fuses into conv1
+                p = self.variables["params"]["norm1"]
+                h = group_norm_from_stats(x, in_stats, p["scale"], p["bias"])
+            else:
+                h = Normalize("norm1", dtype=self.dtype)(x)
             h = nonlinearity(h)
             h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv1")(h)
             h = Normalize("norm2", dtype=self.dtype)(h)
@@ -280,6 +326,7 @@ class _DownLevel(nn.Module):
     has_downsample: bool
     remat: bool = False
     fused_gn_conv: bool = False
+    fused_downsample: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -294,16 +341,19 @@ class _DownLevel(nn.Module):
                 make_attn(o, self.attn_type, self.dtype) for _, o in self.block_specs
             ]
         if self.has_downsample:
-            self.downsample = Downsample(self.block_specs[-1][1], dtype=self.dtype)
+            self.downsample = Downsample(self.block_specs[-1][1],
+                                         fused=self.fused_downsample,
+                                         dtype=self.dtype)
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, in_stats=None):
         for i, blk in enumerate(self.block):
-            x = blk(x, train)
+            x = blk(x, train, in_stats if i == 0 else None)
             if self.use_attn:
                 x = self.attn[i](x)
+        out_stats = None
         if self.has_downsample:
-            x = self.downsample(x)
-        return x
+            x, out_stats = self.downsample(x, train=train, with_stats=True)
+        return x, out_stats
 
 
 class _Mid(nn.Module):
@@ -342,6 +392,7 @@ class Encoder(nn.Module):
     attn_type: str = "vanilla"
     remat: bool = False
     fused_gn_conv: bool = False  # Pallas GN+swish+conv on the inference path
+    fused_downsample: bool = True  # Pallas phase-matmul downsample (see Downsample)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -368,6 +419,7 @@ class Encoder(nn.Module):
                     has_downsample=i_level != num_resolutions - 1,
                     remat=self.remat,
                     fused_gn_conv=self.fused_gn_conv,
+                    fused_downsample=self.fused_downsample,
                     dtype=self.dtype,
                 )
             )
@@ -382,8 +434,9 @@ class Encoder(nn.Module):
 
     def __call__(self, x, train: bool = False):
         h = self.conv_in(x)
+        stats = None
         for level in self.down:
-            h = level(h, train=train)
+            h, stats = level(h, train=train, in_stats=stats)
         h = self.mid(h, train=train)
         h = self.norm_out(h)
         h = nonlinearity(h)
@@ -404,6 +457,7 @@ class _UpLevel(nn.Module):
     has_upsample: bool
     remat: bool = False
     fused_gn_conv: bool = False
+    fused_upsample: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -418,16 +472,18 @@ class _UpLevel(nn.Module):
                 make_attn(o, self.attn_type, self.dtype) for _, o in self.block_specs
             ]
         if self.has_upsample:
-            self.upsample = Upsample(self.block_specs[-1][1], dtype=self.dtype)
+            self.upsample = Upsample(self.block_specs[-1][1],
+                                     fused=self.fused_upsample, dtype=self.dtype)
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, in_stats=None):
         for i, blk in enumerate(self.block):
-            x = blk(x, train)
+            x = blk(x, train, in_stats if i == 0 else None)
             if self.use_attn:
                 x = self.attn[i](x)
+        out_stats = None
         if self.has_upsample:
-            x = self.upsample(x)
-        return x
+            x, out_stats = self.upsample(x, train=train, with_stats=True)
+        return x, out_stats
 
 
 class Decoder(nn.Module):
@@ -450,6 +506,7 @@ class Decoder(nn.Module):
     double_z: bool = True  # accepted for config aliasing; unused
     remat: bool = False
     fused_gn_conv: bool = False  # Pallas GN+swish+conv on the inference path
+    fused_upsample: bool = True  # Pallas phase-conv upsample (see Upsample)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -477,6 +534,7 @@ class Decoder(nn.Module):
                 has_upsample=i_level != 0,
                 remat=self.remat,
                 fused_gn_conv=self.fused_gn_conv,
+                fused_upsample=self.fused_upsample,
                 dtype=self.dtype,
             )
             if i_level != 0:
@@ -488,8 +546,9 @@ class Decoder(nn.Module):
     def __call__(self, z, train: bool = False):
         h = self.conv_in(z)
         h = self.mid(h, train=train)
+        stats = None
         for i_level in reversed(range(len(self.ch_mult))):
-            h = self.up[i_level](h, train=train)
+            h, stats = self.up[i_level](h, train=train, in_stats=stats)
         if self.give_pre_end:
             return h
         h = self.norm_out(h)
@@ -505,8 +564,9 @@ class Decoder(nn.Module):
         (`discriminator_loss.py:211-220`)."""
         h = self.conv_in(z)
         h = self.mid(h, train=train)
+        stats = None
         for i_level in reversed(range(len(self.ch_mult))):
-            h = self.up[i_level](h, train=train)
+            h, stats = self.up[i_level](h, train=train, in_stats=stats)
         h = self.norm_out(h)
         return nonlinearity(h)
 

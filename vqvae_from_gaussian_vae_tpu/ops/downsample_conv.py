@@ -1,0 +1,153 @@
+"""Fused stride-2 3x3 downsample conv Pallas TPU kernel (phase matmuls).
+
+The reference encoder downsamples with an asymmetric (0,1)x(0,1) pad and a
+stride-2 VALID 3x3 conv (`/root/reference/pit/modules/unet.py:76-97`).
+XLA's stride-2 conv runs far off the MXU roofline at the encoder shapes
+(per-op trace on v5e, bs=16 bf16: 2.53 ms at 256->128 x128 = 15% MXU,
+2.31 ms at 128->64 x256 = 34%).  Here the 9 taps are computed as 9 dense
+(rows, C) x (C, O) MXU matmuls over strided phase views of the input band —
+FLOP-exact (no 16/9 space-to-depth overhead) and fully dense.
+
+Layout-preserving: the kernel computes on logically-(H, W, B, C) arrays —
+XLA's {3,0,2,1} conv activation layout — so the wrapping transposes are
+bitcasts and the surrounding conv+GN fusion regime is untouched (same trick
+as ops/upsample_conv.py, see that module's docstring).  Like the upsample
+kernel it emits per-sample channel (sum, sumsq) of the output so the
+consumer GroupNorm needs no extra full-res pass.
+
+Inference-path only (no custom VJP); training uses the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(n_bands: int, block_h: int, with_stats: bool,
+            w_ref, bias_ref, ctr_ref, bot_ref, out_ref, *stats_refs):
+    """block_h = OUTPUT rows per program; the center block covers input rows
+    [2*k*bh, 2*(k+1)*bh) plus a 1-row bottom halo (zero-masked at the image
+    edge — the reference's bottom zero pad)."""
+    k = pl.program_id(0)
+    bh = block_h
+    wdim = ctr_ref.shape[1]          # input W
+    bsz = ctr_ref.shape[2]
+    c = ctr_ref.shape[3]
+    o = out_ref.shape[3]
+    wo = wdim // 2
+
+    xb = jnp.concatenate([ctr_ref[:], bot_ref[:]], axis=0)  # (2bh+1, W, B, C)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * bh + 1, 1, 1, 1), 0)
+    valid = ~((rows == 2 * bh) & (k == n_bands - 1))  # row H is the zero pad
+    xb = jnp.where(valid, xb, jnp.zeros_like(xb))
+    # pad to even extents so phases split by reshape (Mosaic has no strided
+    # vector slices): (2bh+2, W+2, B, C) -> (bh+1, 2, wo+1, 2, B, C); tap
+    # (a, b) is then the unit-stride block [a//2 : a//2+bh, a%2, ...]
+    xp = jnp.pad(xb, ((0, 1), (0, 2), (0, 0), (0, 0)))
+    xq = xp.reshape(bh + 1, 2, wo + 1, 2, bsz, c)
+
+    bias = bias_ref[0].astype(jnp.float32)[None, :]
+    acc = jnp.zeros((bh * wo * bsz, o), jnp.float32)
+    for a in (0, 1, 2):
+        for b in (0, 1, 2):
+            tile = xq[a // 2:a // 2 + bh, a % 2, b // 2:b // 2 + wo, b % 2]
+            acc = acc + jnp.dot(
+                tile.reshape(bh * wo * bsz, c),
+                w_ref[a, b],
+                preferred_element_type=jnp.float32,
+            )
+    y = (acc + bias).reshape(bh, wo, bsz, o).astype(out_ref.dtype)
+    out_ref[:] = y
+    if with_stats:
+        yf = y.astype(jnp.float32)
+        s = jnp.sum(yf, axis=(0, 1))
+        ss = jnp.sum(yf * yf, axis=(0, 1))
+        stats_refs[0][0] = jnp.stack([s, ss], axis=1)  # (B, 2, O)
+
+
+def _pick_block_h(xt, o, block_h):
+    h, wd, bsz, c = xt.shape  # input dims; block_h counts OUTPUT rows
+    itemsize = xt.dtype.itemsize
+    h_out = h // 2
+
+    def vmem_bytes(bh):
+        return bsz * itemsize * (
+            2 * 2 * bh * wd * c              # center (double-buffered)
+            + 2 * wd * c                     # halo row
+            + (2 * bh + 1) * (wd + 1) * c    # padded band
+            + bh * (wd // 2) * o * 2         # accumulator (f32)
+            + 2 * bh * (wd // 2) * o         # out (double-buffered)
+        ) + 9 * c * o * itemsize
+
+    while block_h > 1 and (vmem_bytes(block_h) > 56 * 2**20 or h_out % block_h):
+        block_h //= 2
+    while h_out % block_h:
+        block_h //= 2
+    assert block_h >= 1, (h, block_h)
+    return block_h
+
+
+def downsample_conv3x3_gn(x, w, bias, block_h: int = 8, interpret=None):
+    """Asym-pad stride-2 3x3 conv: (B,H,W,C) -> ((B,H/2,W/2,O), (B,2,O) f32
+    output stats for the consumer's GroupNorm)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xt = jnp.transpose(x, (1, 2, 0, 3))  # (H, W, B, C): bitcast in {3,0,2,1}
+    yt, stats = _downsample_conv(
+        xt, w, bias, _pick_block_h(xt, w.shape[-1], block_h), interpret, True)
+    return jnp.transpose(yt, (2, 0, 1, 3)), jnp.sum(stats, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_h", "interpret", "with_stats"))
+def _downsample_conv(xt, w, bias, block_h: int, interpret: bool, with_stats: bool):
+    h, wd, bsz, c = xt.shape
+    o = w.shape[-1]
+    h_out, w_out = h // 2, wd // 2
+    assert h_out % block_h == 0, (h, block_h)
+    n_bands = h_out // block_h
+    dtype = xt.dtype
+
+    def ctr_map(k):
+        return (k, 0, 0, 0)
+
+    def bot_map(k):
+        # the input row just below the band, clamped at the image edge
+        return (jnp.minimum((k + 1) * 2 * block_h, h - 1), 0, 0, 0)
+
+    out_shapes = [jax.ShapeDtypeStruct((h_out, w_out, bsz, o), dtype)]
+    out_specs = [pl.BlockSpec((block_h, w_out, bsz, o), ctr_map,
+                              memory_space=pltpu.VMEM)]
+    if with_stats:
+        out_shapes.append(jax.ShapeDtypeStruct((n_bands, bsz, 2, o), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, bsz, 2, o), lambda k: (k, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        functools.partial(_kernel, n_bands, block_h, with_stats),
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w (3, 3, C, O)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, O)
+            pl.BlockSpec((2 * block_h, wd, bsz, c), ctr_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wd, bsz, c), bot_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shapes if with_stats else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h_out * w_out * 9 * c * o,
+            bytes_accessed=bsz * h * wd * c * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(w.astype(dtype), bias.reshape(1, o).astype(dtype), xt, xt)
+    return res

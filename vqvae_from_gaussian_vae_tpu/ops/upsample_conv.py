@@ -8,9 +8,13 @@ and the 4x-size nearest-upsampled intermediate never exists.  Measured on
 v5e the XLA nearest+conv at 128->256 x256ch costs ~9.8 ms per 16-image
 batch; the phase formulation has a ~3.5 ms FLOP floor.
 
-A pure-XLA phase conv (models/unet.py Upsample(fused=True)) lost to the
-unaligned (H+1, W+1) intermediates; here the phases are computed per row
-band in VMEM and interleaved before the single aligned write-back.
+A pure-XLA phase conv (tried first) lost to the unaligned (H+1, W+1)
+intermediates; here the phases are computed per row band in VMEM and
+interleaved before the single aligned write-back.  Measured v5e wins at the
+decoder shapes (bs=16, bf16): 2.7 vs 6.6 ms (32->64 x512), 4.9 vs 9.0
+(64->128 x512), 5.5 vs 11.5 (128->256 x256) — 2.2-2.4x over XLA
+nearest+conv.  models/unet.py Upsample routes here on the TPU inference
+path.
 
 Grid: 1-D over (batch x row-bands).  The band's 1-row halos are separate
 blocked inputs with clamped index maps (zero-masked at the image edges), so
@@ -63,8 +67,9 @@ def phase_kernels(w: jax.Array) -> jax.Array:
     return jnp.stack(out, axis=0)
 
 
-def _kernel(n_bands: int, block_h: int,
-            k22_ref, bias_ref, top_ref, ctr_ref, bot_ref, out_ref):
+def _kernel(n_bands: int, block_h: int, with_stats: bool,
+            k22_ref, bias_ref, top_ref, ctr_ref, bot_ref, out_ref,
+            *stats_refs):
     k = pl.program_id(0)
     hi = k % n_bands
     bh = block_h
@@ -98,15 +103,74 @@ def _kernel(n_bands: int, block_h: int,
     row0 = jnp.stack([phases[0], phases[1]], axis=2).reshape(bh, 2 * wdim, o)
     row1 = jnp.stack([phases[2], phases[3]], axis=2).reshape(bh, 2 * wdim, o)
     out_ref[0] = jnp.stack([row0, row1], axis=1).reshape(2 * bh, 2 * wdim, o)
+    if with_stats:
+        # per-band channel sums of the (cast) output, for the consumer's
+        # GroupNorm: computed in-VMEM so the full-res tensor is never
+        # re-read from HBM for statistics
+        s = jnp.zeros((o,), jnp.float32)
+        ss = jnp.zeros((o,), jnp.float32)
+        for p in phases:
+            pf = p.astype(jnp.float32)
+            s = s + jnp.sum(pf, axis=(0, 1))
+            ss = ss + jnp.sum(pf * pf, axis=(0, 1))
+        stats_refs[0][0, 0] = jnp.stack([s, ss], axis=0)
 
 
-def upsample_nearest_conv3x3(x, w, bias, block_h: int = 16, interpret=None):
-    """nearest-x2 upsample + 3x3 same-pad conv: (B,H,W,C) -> (B,2H,2W,O)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _kernel_hwbc(n_bands: int, block_h: int, with_stats: bool,
+                 k22_ref, bias_ref, top_ref, ctr_ref, bot_ref, out_ref,
+                 *stats_refs):
+    """(H, W, B, C)-order variant: XLA lays conv activations out as
+    {3,0,2,1} = physical (H, W, B, C), so presenting the kernel with that
+    logical order makes the wrapping transposes free bitcasts and leaves
+    the surrounding graph's layout regime (and conv+GN fusion pattern)
+    untouched — see models/unet.py Upsample."""
+    hi = pl.program_id(0) % n_bands
+    bh = block_h
+    wdim = ctr_ref.shape[1]
+    bsz = ctr_ref.shape[2]
+    c = ctr_ref.shape[3]
+    o = out_ref.shape[3]
+
+    xb = jnp.concatenate([top_ref[:], ctr_ref[:], bot_ref[:]], axis=0)  # (bh+2, W, B, C)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, 1, 1, 1), 0)
+    valid = ~((rows == 0) & (hi == 0))
+    valid &= ~((rows == bh + 1) & (hi == n_bands - 1))
+    xb = jnp.where(valid, xb, jnp.zeros_like(xb))
+    xp = jnp.pad(xb, ((0, 0), (1, 1), (0, 0), (0, 0)))  # width halo
+
+    bias = bias_ref[0].astype(jnp.float32)[None, :]
+    phases = []
+    for di in (0, 1):
+        for dj in (0, 1):
+            acc = jnp.zeros((bh * wdim * bsz, o), jnp.float32)
+            for a in (0, 1):
+                for bb in (0, 1):
+                    tile = xp[di + a:di + a + bh, dj + bb:dj + bb + wdim]
+                    acc = acc + jnp.dot(
+                        tile.reshape(bh * wdim * bsz, c),
+                        k22_ref[di, dj, a, bb],
+                        preferred_element_type=jnp.float32,
+                    )
+            phases.append((acc + bias).reshape(bh, wdim, bsz, o).astype(out_ref.dtype))
+    # interleave: y[2i+di, 2j+dj] = phase(di, dj)[i, j]
+    row0 = jnp.stack([phases[0], phases[1]], axis=2).reshape(bh, 2 * wdim, bsz, o)
+    row1 = jnp.stack([phases[2], phases[3]], axis=2).reshape(bh, 2 * wdim, bsz, o)
+    out_ref[:] = jnp.stack([row0, row1], axis=1).reshape(2 * bh, 2 * wdim, bsz, o)
+    if with_stats:
+        s = jnp.zeros((bsz, o), jnp.float32)
+        ss = jnp.zeros((bsz, o), jnp.float32)
+        for p in phases:
+            pf = p.astype(jnp.float32)
+            s = s + jnp.sum(pf, axis=(0, 1))
+            ss = ss + jnp.sum(pf * pf, axis=(0, 1))
+        stats_refs[0][0] = jnp.stack([s, ss], axis=1)  # (B, 2, O)
+
+
+def _pick_block_h(x, o, block_h, with_stats=False):
     b, h, wd, c = x.shape
-    o = w.shape[-1]
     itemsize = x.dtype.itemsize
+    # the stats epilogue keeps extra f32 temporaries live; leave headroom
+    budget = (9 if with_stats else 11) * 2**20
 
     def vmem_bytes(bh):
         return (
@@ -119,16 +183,132 @@ def upsample_nearest_conv3x3(x, w, bias, block_h: int = 16, interpret=None):
             + 16 * c * o * itemsize          # phase kernels
         )
 
-    while block_h > 4 and (vmem_bytes(block_h) > 11 * 2**20 or h % block_h):
+    while block_h > 4 and (vmem_bytes(block_h) > budget or h % block_h):
         block_h //= 2
     while h % block_h:
         block_h //= 2
     assert block_h >= 1, (h, block_h)
-    return _upsample_conv(x, w, bias, block_h, interpret)
+    return block_h
 
 
-@functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
-def _upsample_conv(x, w, bias, block_h: int, interpret: bool):
+def upsample_nearest_conv3x3(x, w, bias, block_h: int = 16, interpret=None):
+    """nearest-x2 upsample + 3x3 same-pad conv: (B,H,W,C) -> (B,2H,2W,O)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _upsample_conv(x, w, bias, _pick_block_h(x, w.shape[-1], block_h),
+                          interpret, False)
+
+
+def upsample_nearest_conv3x3_stats(x, w, bias, block_h: int = 16, interpret=None):
+    """Like upsample_nearest_conv3x3 but also returns per-sample channel
+    statistics of the output — (B, 2, O) f32 (sum, sum-of-squares over
+    H*W) — computed in-VMEM for the consumer's GroupNorm so the full-res
+    tensor is not re-read from HBM (see models/unet.py Upsample)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    y, stats = _upsample_conv(x, w, bias,
+                              _pick_block_h(x, w.shape[-1], block_h, True),
+                              interpret, True)
+    return y, jnp.sum(stats, axis=1)  # (B, n_bands, 2, O) -> (B, 2, O)
+
+
+def _pick_block_h_hwbc(x, o, block_h):
+    h, wd, bsz, c = x.shape
+    itemsize = x.dtype.itemsize
+
+    def vmem_bytes(bh):
+        return bsz * itemsize * (
+            2 * bh * wd * c                  # center (double-buffered)
+            + 4 * wd * c                     # halo rows
+            + (bh + 2) * (wd + 2) * c        # padded band
+            + bh * wd * o * 2                # phase accumulator (f32)
+            + 4 * bh * wd * o                # phases
+            + 2 * 4 * bh * wd * o            # out (double-buffered)
+        ) + 16 * c * o * itemsize            # phase kernels
+
+    while block_h > 1 and (vmem_bytes(block_h) > 56 * 2**20 or h % block_h):
+        block_h //= 2
+    while h % block_h:
+        block_h //= 2
+    assert block_h >= 1, (h, block_h)
+    return block_h
+
+
+def upsample_nearest_conv3x3_gn(x, w, bias, block_h: int = 16, interpret=None):
+    """Layout-preserving fused upsample: (B,H,W,C) -> ((B,2H,2W,O), (B,2,O)
+    f32 output stats for the consumer's GroupNorm).
+
+    XLA lays the decoder's conv activations out as {3,0,2,1} — physical
+    (H, W, B, C) — while a TPU pallas_call pins its operands/results to
+    row-major.  Calling the naive (B,H,W,C) kernel therefore flips the whole
+    graph into a different layout regime and XLA loses its conv+GN-stats
+    fusion pattern (measured: decoder 64.4 vs 58.5 ms plain).  Here the
+    kernel computes on logically-(H, W, B, C) arrays, so the wrapping
+    transposes are layout-preserving bitcasts and the surrounding fusion
+    structure survives.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xt = jnp.transpose(x, (1, 2, 0, 3))  # (H, W, B, C): a bitcast in {3,0,2,1}
+    yt, stats = _upsample_conv_hwbc(
+        xt, w, bias, _pick_block_h_hwbc(xt, w.shape[-1], block_h), interpret, True)
+    return jnp.transpose(yt, (2, 0, 1, 3)), jnp.sum(stats, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_h", "interpret", "with_stats"))
+def _upsample_conv_hwbc(xt, w, bias, block_h: int, interpret: bool, with_stats: bool):
+    h, wd, bsz, c = xt.shape
+    o = w.shape[-1]
+    assert h % block_h == 0, (h, block_h)
+    n_bands = h // block_h
+    dtype = xt.dtype
+    k22 = phase_kernels(w).astype(dtype)
+
+    def ctr_map(k):
+        return (k, 0, 0, 0)
+
+    def top_map(k):
+        return (jnp.maximum(k * block_h - 1, 0), 0, 0, 0)
+
+    def bot_map(k):
+        return (jnp.minimum((k + 1) * block_h, h - 1), 0, 0, 0)
+
+    out_shapes = [jax.ShapeDtypeStruct((2 * h, 2 * wd, bsz, o), dtype)]
+    out_specs = [pl.BlockSpec((2 * block_h, 2 * wd, bsz, o), ctr_map,
+                              memory_space=pltpu.VMEM)]
+    if with_stats:
+        out_shapes.append(jax.ShapeDtypeStruct((n_bands, bsz, 2, o), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, bsz, 2, o), lambda k: (k, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        functools.partial(_kernel_hwbc, n_bands, block_h, with_stats),
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k22
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, O)
+            pl.BlockSpec((1, wd, bsz, c), top_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_h, wd, bsz, c), ctr_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wd, bsz, c), bot_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shapes if with_stats else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wd * 16 * c * o,
+            bytes_accessed=bsz * h * wd * c * (1 + 4) * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(k22, bias.reshape(1, o).astype(dtype), xt, xt, xt)
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("block_h", "interpret", "with_stats"))
+def _upsample_conv(x, w, bias, block_h: int, interpret: bool, with_stats: bool):
     b, h, wd, c = x.shape
     o = w.shape[-1]
     assert h % block_h == 0, (h, block_h)
@@ -147,8 +327,17 @@ def _upsample_conv(x, w, bias, block_h: int, interpret: bool):
         hi = k % n_bands
         return (k // n_bands, jnp.minimum((hi + 1) * block_h, h - 1), 0, 0)
 
-    return pl.pallas_call(
-        functools.partial(_kernel, n_bands, block_h),
+    out_shapes = [jax.ShapeDtypeStruct((b, 2 * h, 2 * wd, o), dtype)]
+    out_specs = [pl.BlockSpec((1, 2 * block_h, 2 * wd, o), ctr_map,
+                              memory_space=pltpu.VMEM)]
+    if with_stats:
+        out_shapes.append(jax.ShapeDtypeStruct((b, n_bands, 2, o), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 2, o), lambda k: (k // n_bands, k % n_bands, 0, 0),
+            memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        functools.partial(_kernel, n_bands, block_h, with_stats),
         grid=(b * n_bands,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # k22 (2,2,2,2,C,O)
@@ -157,10 +346,8 @@ def _upsample_conv(x, w, bias, block_h: int, interpret: bool):
             pl.BlockSpec((1, block_h, wd, c), ctr_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, wd, c), bot_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 2 * block_h, 2 * wd, o), ctr_map, memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * wd, o), dtype),
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shapes if with_stats else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -171,3 +358,4 @@ def _upsample_conv(x, w, bias, block_h: int, interpret: bool):
         ),
         interpret=interpret,
     )(k22, bias.reshape(1, o).astype(dtype), x, x, x)
+    return res
