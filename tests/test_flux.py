@@ -3,6 +3,8 @@ mechanics; real weights are hub assets absent from this image)."""
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -110,3 +112,29 @@ def test_flux_pipeline_end_to_end_tiny():
     # FLUX latent grid for 32px is 4x4 (2*ceil(32/16)); tiny AE has f=2
     assert out.ndim == 4 and out.shape[0] == 1 and out.shape[3] == 3
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_hf_conditioners_tiny():
+    """HFEmbedder (`conditioner.py:6` analog) on tiny injected flax T5/CLIP
+    models; the pipeline's prompt path consumes their outputs."""
+    from transformers import (CLIPTextConfig, FlaxCLIPTextModel, FlaxT5EncoderModel,
+                              T5Config)
+
+    from vqvae_from_gaussian_vae_tpu.models.conditioner import HFEmbedder
+
+    t5 = FlaxT5EncoderModel(T5Config(vocab_size=100, d_model=32, d_kv=8, d_ff=64,
+                                     num_layers=2, num_heads=4))
+    clip = FlaxCLIPTextModel(CLIPTextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, max_position_embeddings=77))
+
+    t5_emb = HFEmbedder(model=t5, is_clip=False, max_length=8)
+    clip_emb = HFEmbedder(model=clip, is_clip=True, max_length=8)
+    ids = np.random.default_rng(0).integers(0, 100, (2, 8))
+    seq = t5_emb.embed_ids(ids)
+    vec = clip_emb.embed_ids(ids)
+    assert seq.shape == (2, 8, 32)          # last_hidden_state
+    assert vec.shape == (2, 32)             # pooler_output
+    assert np.isfinite(np.asarray(seq)).all() and np.isfinite(np.asarray(vec)).all()
+    with pytest.raises(AssertionError):
+        t5_emb(["no tokenizer injected"])

@@ -3,9 +3,12 @@
 `pit/models/autoencoder.py:710-858`).
 
 `FluxPipeline` is the XFluxPipelineClean analog: flux-dev DiT (+LoRA) with a
-latent-conditioned ControlNet and the FLUX VAE; conditioning embeddings
-(the reference's T5/CLIP/Redux outputs) are passed in as arrays - zeros by
-default since those encoders are hub downloads absent from this image.
+latent-conditioned ControlNet and the FLUX VAE.  Text conditioning runs
+through real T5/CLIP encoders (models/conditioner.py HFEmbedder over
+transformers-flax) when local checkpoint paths are supplied (t5_path /
+clip_path - no egress in this image, nothing downloads implicitly);
+otherwise embeddings are passed in as arrays (zeros by default).  The Redux
+image embedder stays an array input (hub-only SigLIP assets).
 
 `AutoencodingFluxEngine.dequant` re-generates images from tokens: decode ->
 feed the dequantized latents to the ControlNet -> 25-step guided denoise ->
@@ -37,6 +40,8 @@ class FluxPipeline:
         flux_weights: Optional[str] = None,
         controlnet_weights: Optional[str] = None,
         ae_weights: Optional[str] = None,
+        t5_path: Optional[str] = None,
+        clip_path: Optional[str] = None,
         seed: int = 0,
     ):
         self.params_cfg = flux_params or F.flux_dev_params()
@@ -48,6 +53,12 @@ class FluxPipeline:
         self.controlnet_params = None
         self._weights = (flux_weights, controlnet_weights)
         self._rng = jax.random.PRNGKey(seed)
+        # optional text conditioners (local transformers-flax checkpoints);
+        # without them, conditioning stays embeddings-as-inputs
+        from vqvae_from_gaussian_vae_tpu.models.conditioner import HFEmbedder
+
+        self.t5 = HFEmbedder(t5_path, max_length=512) if t5_path else None
+        self.clip = HFEmbedder(clip_path, max_length=77) if clip_path else None
 
     def init_params(self, height: int = 256, width: int = 256, txt_len: int = 512):
         rng = self._rng
@@ -88,6 +99,8 @@ class FluxPipeline:
         controlnet_image: jnp.ndarray,  # (B, h_lat, w_lat, C) dequantized latents
         width: int,
         height: int,
+        prompt: Optional[str] = None,
+        neg_prompt: str = "",
         inp_txt: Optional[jnp.ndarray] = None,
         inp_vec: Optional[jnp.ndarray] = None,
         neg_inp_txt: Optional[jnp.ndarray] = None,
@@ -103,6 +116,15 @@ class FluxPipeline:
         assert self.model_params is not None, "call init_params() first"
         b = controlnet_image.shape[0]
         p = self.params_cfg
+        if prompt is not None and self.t5 is not None and self.clip is not None:
+            # the reference's HFEmbedder path (`xflux_pipeline.py` prompt
+            # encoding): T5 sequence embeddings + pooled CLIP vector
+            inp_txt = jnp.tile(self.t5([prompt]), (b, 1, 1)) if inp_txt is None else inp_txt
+            inp_vec = jnp.tile(self.clip([prompt]), (b, 1)) if inp_vec is None else inp_vec
+            if neg_inp_txt is None:
+                neg_inp_txt = jnp.tile(self.t5([neg_prompt]), (b, 1, 1))
+            if neg_inp_vec is None:
+                neg_inp_vec = jnp.tile(self.clip([neg_prompt]), (b, 1))
         # conditioning defaults: zero embeddings (no Redux/T5/CLIP assets)
         txt = inp_txt if inp_txt is not None else jnp.zeros((b, txt_len, p.context_in_dim))
         vec = inp_vec if inp_vec is not None else jnp.zeros((b, p.vec_in_dim))
