@@ -41,6 +41,16 @@ def parse_args():
     p.add_argument("--limit", default=0, type=int, help="cap on total images (0 = all)")
     p.add_argument("--inception_weights", default="", type=str)
     p.add_argument("--lpips_weights", default="", type=str)
+    p.add_argument("--video", action="store_true",
+                   help="treat --dataset as a folder of clips (GIF/MP4): "
+                        "per-frame metrics, optionally FVD (--fvd)")
+    p.add_argument("--num_frames", default=16, type=int, help="frames per clip (video mode)")
+    p.add_argument("--fvd", action="store_true",
+                   help="also compute FVD over I3D features (needs "
+                        "--num_frames >= 9; supply --i3d_weights for "
+                        "reference-comparable values)")
+    p.add_argument("--i3d_weights", default="", type=str,
+                   help="converted I3D torchscript state_dict (video mode FVD)")
     p.add_argument("--stats_cache", default="", type=str,
                    help=".npz path caching the source dataset's Inception (mu, sigma)")
     # accepted for reference-CLI compatibility; SPMD needs no backend choice
@@ -78,7 +88,13 @@ def main():
     # global array (the reference's DistributedSampler role, eval.py:97-107)
     host_bs = args.bs * (jax.local_device_count() if multi else n_dev)
 
-    dataset = SimpleDataset(args.dataset, image_size=args.img_size)
+    if args.video:
+        from vqvae_from_gaussian_vae_tpu.data.video import VideoDataset
+
+        dataset = VideoDataset(args.dataset, image_size=args.img_size,
+                               num_frames=args.num_frames)
+    else:
+        dataset = SimpleDataset(args.dataset, image_size=args.img_size)
     loader = _PrefetchLoader(dataset, host_bs, shuffle=False, drop_last=True,
                              shard_id=jax.process_index(),
                              num_shards=jax.process_count())
@@ -94,6 +110,28 @@ def main():
     lpips = LPIPSMetric("alex", weights_path=args.lpips_weights or None)
     if not args.lpips_weights:
         print("WARNING: no --lpips_weights; LPIPS uses random-weight features")
+
+    i3d_fn = None
+    if args.video and args.fvd:
+        assert args.num_frames >= 9, (
+            "FVD's I3D trunk needs >= 9 frames per clip (temporal stride 8 "
+            "plus the final window-2 pool)"
+        )
+        from vqvae_from_gaussian_vae_tpu.evaluations.i3d import (
+            InceptionI3d, load_i3d_weights, make_i3d_feature_fn)
+
+        i3d_vars = None
+        if args.i3d_weights:
+            import torch as _torch
+
+            model = InceptionI3d()
+            template = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 9, 224, 224, 3)))
+            i3d_vars, i3d_missing, _ = load_i3d_weights(
+                template, _torch.load(args.i3d_weights, map_location="cpu",
+                                      weights_only=False))
+            if i3d_missing:
+                print("i3d missing keys:", i3d_missing[:5], "...")
+        i3d_fn = make_i3d_feature_fn(i3d_vars, resize=True)
 
     module, params = engine.module, engine.params
 
@@ -126,6 +164,7 @@ def main():
     lpips.variables = jax.tree.map(jnp.asarray, lpips.variables)
 
     acc = {k: [] for k in ("psnr", "ssim", "msssim", "lpips", "feat_x", "feat_r")}
+    fvd_real, fvd_fake = [], []
     hist = np.zeros(65536, np.int64)
     total = 0
     if args.save:
@@ -136,6 +175,13 @@ def main():
 
     with mesh:
         for i, batch in enumerate(loader):
+            if args.video:
+                # clips -> frame batch; the 2D tokenizer reconstructs frames
+                # independently (`pit/dataset/video_data.py` role + the FVD
+                # scorer the reference never wired, fvd_score.py)
+                vid = np.asarray(batch["video"])  # (B, T, H, W, C)
+                bsz, tlen = vid.shape[:2]
+                batch = dict(batch, img=vid.reshape((-1,) + vid.shape[2:]))
             img = shard_batch(mesh, {"img": batch["img"]})["img"]
             out = step(params, inc_vars, lpips.variables, img, jax.random.fold_in(jax.random.PRNGKey(2), i))
             if multi:
@@ -170,6 +216,10 @@ def main():
                     for arr, d in ((batch["img"][b], src_dir), (rec[b], rec_dir)):
                         u8 = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
                         Image.fromarray(u8).save(os.path.join(d, fname))
+            if args.video and i3d_fn is not None:
+                rec = np.asarray(out["rec"]).reshape(vid.shape)
+                fvd_real.append(i3d_fn(vid))
+                fvd_fake.append(i3d_fn(rec))
             total += img.shape[0]
             if args.limit and total >= args.limit:
                 break
@@ -193,6 +243,10 @@ def main():
             np.savez(args.stats_cache, mu=m2, sigma=s2)
             print(f"(source stats cached to {args.stats_cache})")
     print(f"FID: {calculate_frechet_distance(m1, s1, m2, s2):.4f}")
+    if fvd_real:
+        from vqvae_from_gaussian_vae_tpu.evaluations.fvd import fvd_from_features
+
+        print(f"FVD: {fvd_from_features(np.concatenate(fvd_real), np.concatenate(fvd_fake)):.4f}")
     if hist.sum() > 0:
         usage = (hist > 0).mean()
         p = hist / hist.sum()

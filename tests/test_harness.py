@@ -158,3 +158,29 @@ def test_checkpointer_top_k_best(tmp_path):
     # evicted snapshots are gone
     assert not os.path.isdir(os.path.join(ck.dir, "best_step_00000001"))
     assert not os.path.isdir(os.path.join(ck.dir, "best_step_00000004"))
+
+
+def test_eval_cli_video(tmp_path):
+    """Video mode: clips -> per-frame metrics (the reference's video data
+    path was vestigial and its FVD scorer never wired into an eval).  FVD
+    itself (--fvd) is covered in-process by tests/test_i3d.py - the CPU
+    I3D at 224x224 is too heavy for a subprocess CI test."""
+    from PIL import Image
+
+    clip_dir = tmp_path / "clips"
+    clip_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):  # host batch = bs(1) x 8 virtual devices, drop_last
+        frames = [Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+                  for _ in range(5)]
+        frames[0].save(clip_dir / f"c{i}.gif", save_all=True, append_images=frames[1:])
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(TINY_MODEL_YAML.format(pkg=PKG, root=str(clip_dir)))
+    res = _run([sys.executable, "eval.py", "--base", str(cfg_path),
+                "--dataset", str(clip_dir), "--img_size", "32", "--bs", "1",
+                "--video", "--num_frames", "4"])
+    out = res.stdout
+    for key in ("PSNR:", "LPIPS (AlexNet):", "FID:"):
+        assert key in out, out
+    assert "FVD:" not in out  # opt-in via --fvd (needs >= 9 frames)

@@ -118,12 +118,13 @@ class _PrefetchLoader:
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__, map(int, batch_idx)))
-                        out_q.put(
-                            {
-                                "img": np.stack([it["img"] for it in items]),
-                                "fpath": [it["fpath"] for it in items],
-                            }
-                        )
+                        batch = {
+                            "img": np.stack([it["img"] for it in items]),
+                            "fpath": [it["fpath"] for it in items],
+                        }
+                        if "video" in items[0]:  # clip datasets (data/video.py)
+                            batch["video"] = np.stack([it["video"] for it in items])
+                        out_q.put(batch)
             finally:
                 out_q.put(None)
 
