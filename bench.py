@@ -49,7 +49,7 @@ def _watchdog(seconds: float):
 
 
 def main():
-    watchdog = _watchdog(float(os.environ.get("BENCH_TIMEOUT", "480")))
+    watchdog = _watchdog(float(os.environ.get("BENCH_TIMEOUT", "1500")))
     from vqvae_from_gaussian_vae_tpu import instantiate_from_config
     from vqvae_from_gaussian_vae_tpu.utils.config import load_config
     from vqvae_from_gaussian_vae_tpu.utils import flops as F

@@ -31,3 +31,17 @@ def test_downsample_kernel_matches_reference(shape, o):
     yf = np.asarray(y, np.float64).reshape(b, -1, o)
     np.testing.assert_allclose(np.asarray(stats[:, 0]), yf.sum(1), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(stats[:, 1]), (yf ** 2).sum(1), rtol=1e-4)
+
+
+def test_downsample_kernel_with_fused_add():
+    rng = np.random.default_rng(2)
+    b, h, wd, c = 2, 8, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, h, wd, c)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((b, h, wd, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32)
+    bias = jnp.zeros((c,), jnp.float32)
+    y, stats = downsample_conv3x3_gn(x, w, bias, add=a, interpret=True)
+    ref = _ref(x + a, w, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    yf = np.asarray(y, np.float64).reshape(b, -1, c)
+    np.testing.assert_allclose(np.asarray(stats[:, 0]), yf.sum(1), rtol=1e-4, atol=1e-5)

@@ -105,3 +105,17 @@ def test_upsample_module_plain_path_on_cpu():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(_plain(x, cp["kernel"], cp["bias"])), atol=1e-5
     )
+
+
+def test_hwbc_variant_with_fused_add():
+    rng = np.random.default_rng(6)
+    b, h, wd, c = 2, 8, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, h, wd, c)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((b, h, wd, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32)
+    bias = jnp.zeros((c,), jnp.float32)
+    y, stats = upsample_nearest_conv3x3_gn(x, w, bias, add=a, interpret=True)
+    ref = _plain(x + a, w, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    yf = np.asarray(y, np.float64).reshape(b, -1, c)
+    np.testing.assert_allclose(np.asarray(stats[:, 0]), yf.sum(1), rtol=1e-4)

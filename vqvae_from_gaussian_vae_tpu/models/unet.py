@@ -54,6 +54,19 @@ def group_norm_from_stats(x, stats, scale, bias, num_groups: int = 32,
     return y.astype(x.dtype)
 
 
+def _resample_fuses(flag: bool, train: bool, h: int, dtype) -> bool:
+    """True when Up/Downsample will take the Pallas fused path (must mirror
+    the use_fused conditions in those modules); lets the level defer the
+    last resblock's residual add into the kernel."""
+    return (
+        bool(flag)
+        and not train
+        and jax.default_backend() == "tpu"
+        and h % 4 == 0
+        and jnp.dtype(dtype) == jnp.bfloat16
+    )
+
+
 def Normalize(name=None, num_groups: int = 32, dtype=None) -> nn.GroupNorm:
     """GroupNorm(32, eps=1e-6) (unet.py:54-57).  dtype=None inherits the
     activation dtype (bf16 I/O on TPU); flax always computes the mean/var
@@ -90,27 +103,26 @@ class Upsample(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, with_stats: bool = False):
+    def __call__(self, x, train: bool = False, with_stats: bool = False,
+                 add=None):
+        if add is not None and self.is_initializing():
+            x, add = x + add, None
         b, h, w, c = x.shape
         if not self.with_conv:
+            assert add is None
             y = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
             return (y, None) if with_stats else y
         o = self.in_channels
         conv = nn.Conv(o, (3, 3), padding=[(1, 1), (1, 1)],
                        dtype=self.dtype, name="conv")
-        use_fused = (
-            self.fused
-            and not train
-            and jax.default_backend() == "tpu"
-            and h % 4 == 0
-            # bf16 only: the Pallas fp32 matmul uses fewer bf16 passes than
-            # XLA's excess-precision fp32 convs (measured ~3e-2 divergence);
-            # fp32 inference keeps exact plain-XLA parity
-            and jnp.dtype(self.dtype) == jnp.bfloat16
-        )
+        # bf16 only: the Pallas fp32 matmul uses fewer bf16 passes than
+        # XLA's excess-precision fp32 convs (measured ~3e-2 divergence);
+        # fp32 inference keeps exact plain-XLA parity
+        use_fused = _resample_fuses(self.fused, train, h, self.dtype)
         if not use_fused or self.is_initializing():
             # init always takes this path so the conv/{kernel,bias} params
             # exist identically for both; the fused path reuses them below
+            assert add is None  # levels defer the add only on the fused path
             y = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
             y = conv(y)
             return (y, None) if with_stats else y
@@ -121,7 +133,8 @@ class Upsample(nn.Module):
 
         cp = self.variables["params"]["conv"]
         y, stats = upsample_nearest_conv3x3_gn(
-            x.astype(self.dtype), cp["kernel"].astype(self.dtype), cp["bias"])
+            x.astype(self.dtype), cp["kernel"].astype(self.dtype), cp["bias"],
+            add=None if add is None else add.astype(self.dtype))
         return (y, stats) if with_stats else y
 
 
@@ -143,20 +156,19 @@ class Downsample(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, with_stats: bool = False):
+    def __call__(self, x, train: bool = False, with_stats: bool = False,
+                 add=None):
+        if add is not None and self.is_initializing():
+            x, add = x + add, None
         if not self.with_conv:
+            assert add is None
             y = nn.avg_pool(x, (2, 2), strides=(2, 2))
             return (y, None) if with_stats else y
         conv = nn.Conv(self.in_channels, (3, 3), strides=(2, 2), padding="VALID",
                        dtype=self.dtype, name="conv")
-        use_fused = (
-            self.fused
-            and not train
-            and jax.default_backend() == "tpu"
-            and x.shape[1] % 4 == 0
-            and jnp.dtype(self.dtype) == jnp.bfloat16  # see Upsample: fp32 stays plain
-        )
+        use_fused = _resample_fuses(self.fused, train, x.shape[1], self.dtype)
         if not use_fused or self.is_initializing():
+            assert add is None  # levels defer the add only on the fused path
             y = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
             y = conv(y)
             return (y, None) if with_stats else y
@@ -167,7 +179,8 @@ class Downsample(nn.Module):
 
         cp = self.variables["params"]["conv"]
         y, stats = downsample_conv3x3_gn(
-            x.astype(self.dtype), cp["kernel"].astype(self.dtype), cp["bias"])
+            x.astype(self.dtype), cp["kernel"].astype(self.dtype), cp["bias"],
+            add=None if add is None else add.astype(self.dtype))
         return (y, stats) if with_stats else y
 
 
@@ -188,7 +201,8 @@ class ResnetBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, in_stats=None):
+    def __call__(self, x, train: bool = False, in_stats=None,
+                 defer_add: bool = False):
         out_ch = self.out_channels or self.in_channels
         use_fused = (
             self.fused_gn_conv
@@ -247,6 +261,10 @@ class ResnetBlock(nn.Module):
                             name="conv_shortcut")(x)
             else:
                 x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+        if defer_add:
+            # the consuming fused resample kernel sums these in VMEM,
+            # skipping a full-HBM materialisation of the residual add
+            return x, h
         return x + h
 
 
@@ -346,13 +364,24 @@ class _DownLevel(nn.Module):
                                          dtype=self.dtype)
 
     def __call__(self, x, train: bool = False, in_stats=None):
+        n = len(self.block)
+        defer = (
+            self.has_downsample
+            and not self.use_attn
+            and not self.is_initializing()
+            and _resample_fuses(self.fused_downsample, train, x.shape[1], self.dtype)
+        )
+        add = None
         for i, blk in enumerate(self.block):
-            x = blk(x, train, in_stats if i == 0 else None)
-            if self.use_attn:
-                x = self.attn[i](x)
+            if defer and i == n - 1:
+                x, add = blk(x, train, in_stats if i == 0 else None, True)
+            else:
+                x = blk(x, train, in_stats if i == 0 else None)
+                if self.use_attn:
+                    x = self.attn[i](x)
         out_stats = None
         if self.has_downsample:
-            x, out_stats = self.downsample(x, train=train, with_stats=True)
+            x, out_stats = self.downsample(x, train=train, with_stats=True, add=add)
         return x, out_stats
 
 
@@ -476,13 +505,24 @@ class _UpLevel(nn.Module):
                                      fused=self.fused_upsample, dtype=self.dtype)
 
     def __call__(self, x, train: bool = False, in_stats=None):
+        n = len(self.block)
+        defer = (
+            self.has_upsample
+            and not self.use_attn
+            and not self.is_initializing()
+            and _resample_fuses(self.fused_upsample, train, x.shape[1], self.dtype)
+        )
+        add = None
         for i, blk in enumerate(self.block):
-            x = blk(x, train, in_stats if i == 0 else None)
-            if self.use_attn:
-                x = self.attn[i](x)
+            if defer and i == n - 1:
+                x, add = blk(x, train, in_stats if i == 0 else None, True)
+            else:
+                x = blk(x, train, in_stats if i == 0 else None)
+                if self.use_attn:
+                    x = self.attn[i](x)
         out_stats = None
         if self.has_upsample:
-            x, out_stats = self.upsample(x, train=train, with_stats=True)
+            x, out_stats = self.upsample(x, train=train, with_stats=True, add=add)
         return x, out_stats
 
 

@@ -28,12 +28,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(n_bands: int, block_h: int, with_stats: bool,
-            w_ref, bias_ref, ctr_ref, bot_ref, out_ref, *stats_refs):
+def _kernel(n_bands: int, block_h: int, with_stats: bool, with_add: bool,
+            w_ref, bias_ref, *refs):
     """block_h = OUTPUT rows per program; the center block covers input rows
     [2*k*bh, 2*(k+1)*bh) plus a 1-row bottom halo (zero-masked at the image
-    edge — the reference's bottom zero pad)."""
+    edge — the reference's bottom zero pad).  with_add fuses a residual sum
+    of two operands in VMEM (the producing resblock's ``x + h``), saving the
+    full-HBM materialisation XLA otherwise emits to feed the custom call."""
     k = pl.program_id(0)
+    if with_add:
+        ctr_ref, bot_ref, ctr2_ref, bot2_ref, out_ref, *stats_refs = refs
+    else:
+        ctr_ref, bot_ref, out_ref, *stats_refs = refs
     bh = block_h
     wdim = ctr_ref.shape[1]          # input W
     bsz = ctr_ref.shape[2]
@@ -41,7 +47,11 @@ def _kernel(n_bands: int, block_h: int, with_stats: bool,
     o = out_ref.shape[3]
     wo = wdim // 2
 
-    xb = jnp.concatenate([ctr_ref[:], bot_ref[:]], axis=0)  # (2bh+1, W, B, C)
+    ctr, bot = ctr_ref[:], bot_ref[:]
+    if with_add:
+        ctr = ctr + ctr2_ref[:]
+        bot = bot + bot2_ref[:]
+    xb = jnp.concatenate([ctr, bot], axis=0)  # (2bh+1, W, B, C)
     rows = jax.lax.broadcasted_iota(jnp.int32, (2 * bh + 1, 1, 1, 1), 0)
     valid = ~((rows == 2 * bh) & (k == n_bands - 1))  # row H is the zero pad
     xb = jnp.where(valid, xb, jnp.zeros_like(xb))
@@ -70,15 +80,16 @@ def _kernel(n_bands: int, block_h: int, with_stats: bool,
         stats_refs[0][0] = jnp.stack([s, ss], axis=1)  # (B, 2, O)
 
 
-def _pick_block_h(xt, o, block_h):
+def _pick_block_h(xt, o, block_h, with_add=False):
     h, wd, bsz, c = xt.shape  # input dims; block_h counts OUTPUT rows
     itemsize = xt.dtype.itemsize
     h_out = h // 2
+    nin = 2 if with_add else 1
 
     def vmem_bytes(bh):
         return bsz * itemsize * (
-            2 * 2 * bh * wd * c              # center (double-buffered)
-            + 2 * wd * c                     # halo row
+            nin * 2 * 2 * bh * wd * c        # center(s) (double-buffered)
+            + nin * 2 * wd * c               # halo row(s)
             + (2 * bh + 1) * (wd + 1) * c    # padded band
             + bh * (wd // 2) * o * 2         # accumulator (f32)
             + 2 * bh * (wd // 2) * o         # out (double-buffered)
@@ -92,25 +103,30 @@ def _pick_block_h(xt, o, block_h):
     return block_h
 
 
-def downsample_conv3x3_gn(x, w, bias, block_h: int = 8, interpret=None):
+def downsample_conv3x3_gn(x, w, bias, add=None, block_h: int = 8, interpret=None):
     """Asym-pad stride-2 3x3 conv: (B,H,W,C) -> ((B,H/2,W/2,O), (B,2,O) f32
-    output stats for the consumer's GroupNorm)."""
+    output stats for the consumer's GroupNorm).  ``add`` fuses ``x + add``
+    in VMEM first (the producer resblock's residual sum)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xt = jnp.transpose(x, (1, 2, 0, 3))  # (H, W, B, C): bitcast in {3,0,2,1}
+    at = None if add is None else jnp.transpose(add, (1, 2, 0, 3))
     yt, stats = _downsample_conv(
-        xt, w, bias, _pick_block_h(xt, w.shape[-1], block_h), interpret, True)
+        xt, at, w, bias,
+        _pick_block_h(xt, w.shape[-1], block_h, add is not None),
+        interpret, True)
     return jnp.transpose(yt, (2, 0, 1, 3)), jnp.sum(stats, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_h", "interpret", "with_stats"))
-def _downsample_conv(xt, w, bias, block_h: int, interpret: bool, with_stats: bool):
+def _downsample_conv(xt, at, w, bias, block_h: int, interpret: bool, with_stats: bool):
     h, wd, bsz, c = xt.shape
     o = w.shape[-1]
     h_out, w_out = h // 2, wd // 2
     assert h_out % block_h == 0, (h, block_h)
     n_bands = h_out // block_h
     dtype = xt.dtype
+    with_add = at is not None
 
     def ctr_map(k):
         return (k, 0, 0, 0)
@@ -127,16 +143,23 @@ def _downsample_conv(xt, w, bias, block_h: int, interpret: bool, with_stats: boo
         out_specs.append(pl.BlockSpec((1, bsz, 2, o), lambda k: (k, 0, 0, 0),
                                       memory_space=pltpu.VMEM))
 
+    ctr_spec = pl.BlockSpec((2 * block_h, wd, bsz, c), ctr_map,
+                            memory_space=pltpu.VMEM)
+    bot_spec = pl.BlockSpec((1, wd, bsz, c), bot_map, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w (3, 3, C, O)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, O)
+        ctr_spec, bot_spec,
+    ]
+    operands = [w.astype(dtype), bias.reshape(1, o).astype(dtype), xt, xt]
+    if with_add:
+        in_specs += [ctr_spec, bot_spec]
+        operands += [at, at]
+
     res = pl.pallas_call(
-        functools.partial(_kernel, n_bands, block_h, with_stats),
+        functools.partial(_kernel, n_bands, block_h, with_stats, with_add),
         grid=(n_bands,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w (3, 3, C, O)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, O)
-            pl.BlockSpec((2 * block_h, wd, bsz, c), ctr_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wd, bsz, c), bot_map, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs if with_stats else out_specs[0],
         out_shape=out_shapes if with_stats else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
@@ -145,9 +168,9 @@ def _downsample_conv(xt, w, bias, block_h: int, interpret: bool, with_stats: boo
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h_out * w_out * 9 * c * o,
-            bytes_accessed=bsz * h * wd * c * jnp.dtype(dtype).itemsize,
+            bytes_accessed=(1 + with_add) * bsz * h * wd * c * jnp.dtype(dtype).itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(w.astype(dtype), bias.reshape(1, o).astype(dtype), xt, xt)
+    )(*operands)
     return res

@@ -116,22 +116,32 @@ def _kernel(n_bands: int, block_h: int, with_stats: bool,
         stats_refs[0][0, 0] = jnp.stack([s, ss], axis=0)
 
 
-def _kernel_hwbc(n_bands: int, block_h: int, with_stats: bool,
-                 k22_ref, bias_ref, top_ref, ctr_ref, bot_ref, out_ref,
-                 *stats_refs):
+def _kernel_hwbc(n_bands: int, block_h: int, with_stats: bool, with_add: bool,
+                 k22_ref, bias_ref, *refs):
     """(H, W, B, C)-order variant: XLA lays conv activations out as
     {3,0,2,1} = physical (H, W, B, C), so presenting the kernel with that
     logical order makes the wrapping transposes free bitcasts and leaves
     the surrounding graph's layout regime (and conv+GN fusion pattern)
-    untouched — see models/unet.py Upsample."""
+    untouched — see models/unet.py Upsample.  with_add fuses a residual sum
+    of two operands in VMEM (the producing resblock's ``x + h``)."""
     hi = pl.program_id(0) % n_bands
+    if with_add:
+        (top_ref, ctr_ref, bot_ref, top2_ref, ctr2_ref, bot2_ref,
+         out_ref, *stats_refs) = refs
+    else:
+        top_ref, ctr_ref, bot_ref, out_ref, *stats_refs = refs
     bh = block_h
     wdim = ctr_ref.shape[1]
     bsz = ctr_ref.shape[2]
     c = ctr_ref.shape[3]
     o = out_ref.shape[3]
 
-    xb = jnp.concatenate([top_ref[:], ctr_ref[:], bot_ref[:]], axis=0)  # (bh+2, W, B, C)
+    top, ctr, bot = top_ref[:], ctr_ref[:], bot_ref[:]
+    if with_add:
+        top = top + top2_ref[:]
+        ctr = ctr + ctr2_ref[:]
+        bot = bot + bot2_ref[:]
+    xb = jnp.concatenate([top, ctr, bot], axis=0)  # (bh+2, W, B, C)
     rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, 1, 1, 1), 0)
     valid = ~((rows == 0) & (hi == 0))
     valid &= ~((rows == bh + 1) & (hi == n_bands - 1))
@@ -212,14 +222,15 @@ def upsample_nearest_conv3x3_stats(x, w, bias, block_h: int = 16, interpret=None
     return y, jnp.sum(stats, axis=1)  # (B, n_bands, 2, O) -> (B, 2, O)
 
 
-def _pick_block_h_hwbc(x, o, block_h):
+def _pick_block_h_hwbc(x, o, block_h, with_add=False):
     h, wd, bsz, c = x.shape
     itemsize = x.dtype.itemsize
+    nin = 2 if with_add else 1
 
     def vmem_bytes(bh):
         return bsz * itemsize * (
-            2 * bh * wd * c                  # center (double-buffered)
-            + 4 * wd * c                     # halo rows
+            nin * 2 * bh * wd * c            # center(s) (double-buffered)
+            + nin * 4 * wd * c               # halo rows
             + (bh + 2) * (wd + 2) * c        # padded band
             + bh * wd * o * 2                # phase accumulator (f32)
             + 4 * bh * wd * o                # phases
@@ -234,7 +245,8 @@ def _pick_block_h_hwbc(x, o, block_h):
     return block_h
 
 
-def upsample_nearest_conv3x3_gn(x, w, bias, block_h: int = 16, interpret=None):
+def upsample_nearest_conv3x3_gn(x, w, bias, add=None, block_h: int = 16,
+                                interpret=None):
     """Layout-preserving fused upsample: (B,H,W,C) -> ((B,2H,2W,O), (B,2,O)
     f32 output stats for the consumer's GroupNorm).
 
@@ -250,18 +262,23 @@ def upsample_nearest_conv3x3_gn(x, w, bias, block_h: int = 16, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xt = jnp.transpose(x, (1, 2, 0, 3))  # (H, W, B, C): a bitcast in {3,0,2,1}
+    at = None if add is None else jnp.transpose(add, (1, 2, 0, 3))
     yt, stats = _upsample_conv_hwbc(
-        xt, w, bias, _pick_block_h_hwbc(xt, w.shape[-1], block_h), interpret, True)
+        xt, at, w, bias,
+        _pick_block_h_hwbc(xt, w.shape[-1], block_h, add is not None),
+        interpret, True)
     return jnp.transpose(yt, (2, 0, 1, 3)), jnp.sum(stats, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_h", "interpret", "with_stats"))
-def _upsample_conv_hwbc(xt, w, bias, block_h: int, interpret: bool, with_stats: bool):
+def _upsample_conv_hwbc(xt, at, w, bias, block_h: int, interpret: bool,
+                        with_stats: bool):
     h, wd, bsz, c = xt.shape
     o = w.shape[-1]
     assert h % block_h == 0, (h, block_h)
     n_bands = h // block_h
     dtype = xt.dtype
+    with_add = at is not None
     k22 = phase_kernels(w).astype(dtype)
 
     def ctr_map(k):
@@ -281,16 +298,23 @@ def _upsample_conv_hwbc(xt, w, bias, block_h: int, interpret: bool, with_stats: 
         out_specs.append(pl.BlockSpec((1, bsz, 2, o), lambda k: (k, 0, 0, 0),
                                       memory_space=pltpu.VMEM))
 
+    top_spec = pl.BlockSpec((1, wd, bsz, c), top_map, memory_space=pltpu.VMEM)
+    ctr_spec = pl.BlockSpec((block_h, wd, bsz, c), ctr_map, memory_space=pltpu.VMEM)
+    bot_spec = pl.BlockSpec((1, wd, bsz, c), bot_map, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # k22
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, O)
+        top_spec, ctr_spec, bot_spec,
+    ]
+    operands = [k22, bias.reshape(1, o).astype(dtype), xt, xt, xt]
+    if with_add:
+        in_specs += [top_spec, ctr_spec, bot_spec]
+        operands += [at, at, at]
+
     res = pl.pallas_call(
-        functools.partial(_kernel_hwbc, n_bands, block_h, with_stats),
+        functools.partial(_kernel_hwbc, n_bands, block_h, with_stats, with_add),
         grid=(n_bands,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k22
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, O)
-            pl.BlockSpec((1, wd, bsz, c), top_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_h, wd, bsz, c), ctr_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wd, bsz, c), bot_map, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs if with_stats else out_specs[0],
         out_shape=out_shapes if with_stats else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
@@ -299,11 +323,11 @@ def _upsample_conv_hwbc(xt, w, bias, block_h: int, interpret: bool, with_stats: 
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wd * 16 * c * o,
-            bytes_accessed=bsz * h * wd * c * (1 + 4) * jnp.dtype(dtype).itemsize,
+            bytes_accessed=(1 + with_add) * bsz * h * wd * c * (1 + 4) * jnp.dtype(dtype).itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(k22, bias.reshape(1, o).astype(dtype), xt, xt, xt)
+    )(*operands)
     return res
 
 
