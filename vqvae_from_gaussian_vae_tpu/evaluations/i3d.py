@@ -171,7 +171,7 @@ def load_i3d_weights(params_template, state_dict):
     )
 
 
-def make_i3d_feature_fn(variables=None, rng_seed: int = 0, batched: bool = True,
+def make_i3d_feature_fn(variables=None, rng_seed: int = 0,
                         resize: bool = False):
     """Build an FVD ``feature_fn``: (N, T, H, W, C) in [-1, 1] -> (N, 400)
     numpy.  ``resize=True`` bilinear-resizes frames to 224x224 (required for
