@@ -111,8 +111,13 @@ def main():
     if not args.lpips_weights:
         print("WARNING: no --lpips_weights; LPIPS uses random-weight features")
 
+    if args.video and args.save:
+        raise SystemExit("--save writes per-image PNGs; not supported with --video")
     i3d_fn = None
     if args.video and args.fvd:
+        assert jax.process_count() == 1, (
+            "--video --fvd gathers clip features on one host; run single-process"
+        )
         assert args.num_frames >= 9, (
             "FVD's I3D trunk needs >= 9 frames per clip (temporal stride 8 "
             "plus the final window-2 pool)"
