@@ -231,10 +231,17 @@ class TrainStepBuilder:
         rng, sub = jax.random.split(state.rng)
         x = batch["img"]
         # recompute reconstructions without engine grads (the reference's
-        # phase-1 forward, autoencoder.py:432 under opt.toggle_model)
-        _, xrec, reg_log = self.module.apply(
-            {"params": state.engine_params}, x, train=True, duals=state.duals,
-            rngs={"sample": sub},
+        # phase-1 forward, autoencoder.py:432 under opt.toggle_model).
+        # encode runs train=True for the regularizer's reparam sample +
+        # dual statistics; decode is gradient-free here, so it runs
+        # train=False and picks up the inference-path fused kernels
+        # (models/unet.py) under bf16 compute
+        z, reg_log = self.module.apply(
+            {"params": state.engine_params}, x, return_reg_log=True,
+            train=True, duals=state.duals, method="encode", rngs={"sample": sub},
+        )
+        xrec = self.module.apply(
+            {"params": state.engine_params}, z, train=False, method="decode"
         )
         xrec = jax.lax.stop_gradient(xrec)
         disc_params = state.loss_params["discriminator"]
