@@ -74,10 +74,18 @@ def main():
     from vqvae_from_gaussian_vae_tpu.utils.config import load_config
 
     cfg = load_config(args.base)
-    cfg["model"]["params"]["loss_config"] = None
-    cfg["model"]["params"].pop("ckpt_path", None)
+    params_cfg = cfg["model"].setdefault("params", {})
+    if "loss_config" in params_cfg:
+        params_cfg["loss_config"] = None
+    params_cfg.pop("ckpt_path", None)
     engine = instantiate_from_config(cfg["model"])
-    engine.init_params(jax.random.PRNGKey(0))
+    # the tokenizer engine exposes .module/.params for a single fused jit;
+    # frozen third-party wrappers (models/third_party.py - the reference's
+    # eval baselines, autoencoder.py:25-217) only expose the encode/decode
+    # protocol, so reconstruction runs through that instead
+    protocol_mode = not hasattr(engine, "module")
+    if not protocol_mode:
+        engine.init_params(jax.random.PRNGKey(0))
     if args.ckpt:
         engine.load_checkpoint(args.ckpt)
 
@@ -138,14 +146,7 @@ def main():
                 print("i3d missing keys:", i3d_missing[:5], "...")
         i3d_fn = make_i3d_feature_fn(i3d_vars, resize=True)
 
-    module, params = engine.module, engine.params
-
-    def metric_step(params, inc_vars, lpips_vars, img, rng):
-        z, info = module.apply(
-            {"params": params}, img, return_reg_log=True, train=False,
-            method="encode", rngs={"sample": rng},
-        )
-        rec = module.apply({"params": params}, z, method="decode")
+    def metrics_of(img, rec, inc_vars, lpips_vars):
         psnr = get_psnr(img, rec, zero_mean=True)
         ssim_v, msssim_v = get_ssim_and_msssim(img, rec, zero_mean=True)
         lp = lpips.module.apply(lpips_vars, img, rec)[:, 0, 0, 0]
@@ -159,12 +160,35 @@ def main():
             "lpips": lp,
             "feat_x": feat_x[:, 0, 0, :],
             "feat_r": feat_r[:, 0, 0, :],
-            "indices": info.get("indices"),
         }
 
-    step = jax.jit(metric_step)
-    # place weights on device once; host numpy leaves would re-transfer per call
-    params = jax.tree.map(jnp.asarray, params)
+    if protocol_mode:
+        metrics_jit = jax.jit(metrics_of)
+
+        def step(params, inc_vars, lpips_vars, img, rng):
+            z, info = engine.encode(img, return_reg_log=True)
+            rec = engine.decode(z)
+            out = metrics_jit(img, rec, inc_vars, lpips_vars)
+            out["indices"] = info.get("indices") if isinstance(info, dict) else None
+            return out
+
+        params = None
+    else:
+        module, params = engine.module, engine.params
+
+        def metric_step(params, inc_vars, lpips_vars, img, rng):
+            z, info = module.apply(
+                {"params": params}, img, return_reg_log=True, train=False,
+                method="encode", rngs={"sample": rng},
+            )
+            rec = module.apply({"params": params}, z, method="decode")
+            out = metrics_of(img, rec, inc_vars, lpips_vars)
+            out["indices"] = info.get("indices")
+            return out
+
+        step = jax.jit(metric_step)
+        # place weights on device once; host numpy leaves would re-transfer per call
+        params = jax.tree.map(jnp.asarray, params)
     inc_vars = jax.tree.map(jnp.asarray, inc_vars)
     lpips.variables = jax.tree.map(jnp.asarray, lpips.variables)
 

@@ -184,3 +184,21 @@ def test_eval_cli_video(tmp_path):
     for key in ("PSNR:", "LPIPS (AlexNet):", "FID:"):
         assert key in out, out
     assert "FVD:" not in out  # opt-in via --fvd (needs >= 9 frames)
+
+
+def test_eval_cli_protocol_wrapper(image_dir, tmp_path):
+    """eval.py must also benchmark the frozen third-party wrappers (the
+    reference's eval baselines expose only encode/decode, not the engine
+    module surface)."""
+    cfg_path = tmp_path / "wrapper.yaml"
+    cfg_path.write_text(f"""
+model:
+  target: {PKG}.models.third_party.AutoencoderKLDiffusers
+  params: {{latent_channels: 4, ch: 32, ch_mult: [1, 2], resolution: 32}}
+""")
+    res = _run([sys.executable, "eval.py", "--base", str(cfg_path),
+                "--dataset", image_dir, "--img_size", "32", "--bs", "1"])
+    out = res.stdout
+    for key in ("PSNR:", "SSIM:", "LPIPS (AlexNet):", "FID:"):
+        assert key in out, out
+    assert "codebook usage" not in out  # wrappers emit no indices

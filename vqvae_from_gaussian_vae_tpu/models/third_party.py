@@ -34,6 +34,11 @@ class _FrozenVAEBase:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def load_checkpoint(self, path: str):
+        """Late weight load (eval.py --ckpt); delegates to the wrapped
+        model's converter."""
+        return self.model.load_checkpoint(path)
+
     def encode(self, x, return_reg_log: bool = False, unregularized: bool = False):
         posterior = self.model.encode(x)
         z = posterior.sample(self._next_rng())
