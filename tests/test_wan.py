@@ -17,14 +17,36 @@ from vqvae_from_gaussian_vae_tpu.models.wan import AutoencoderKLWan
 
 # ---- torch mock (diffusers semantics, single-frame path) ------------------
 
+CACHE_T = 2
+
+
 class TCausalConv3d(torch.nn.Conv3d):
     def __init__(self, cin, cout, kernel=(3, 3, 3), stride=(1, 1, 1)):
         super().__init__(cin, cout, kernel, stride)
         kt, kh, kw = self.kernel_size
         self._pad = (kw // 2, kw // 2, kh // 2, kh // 2, kt - 1, 0)
 
-    def forward(self, x):
-        return super().forward(F.pad(x, self._pad))
+    def forward(self, x, cache_x=None):
+        pad = list(self._pad)
+        if cache_x is not None and pad[4] > 0:
+            x = torch.cat([cache_x, x], dim=2)
+            pad[4] -= cache_x.shape[2]
+        return torch.nn.Conv3d.forward(self, F.pad(x, tuple(pad)))
+
+
+def _tcc(conv, x, feat_cache, feat_idx):
+    """The diffusers feat_cache protocol around a causal conv."""
+    if feat_cache is None:
+        return conv(x)
+    idx = feat_idx[0]
+    cur = feat_cache.get(idx)
+    cache_x = x[:, :, -CACHE_T:].clone()
+    if cache_x.shape[2] < 2 and cur is not None:
+        cache_x = torch.cat([cur[:, :, -1:], cache_x], dim=2)
+    out = conv(x, cur)
+    feat_cache[idx] = cache_x
+    feat_idx[0] += 1
+    return out
 
 
 class TRMS(torch.nn.Module):
@@ -47,9 +69,9 @@ class TResBlock(torch.nn.Module):
         self.conv2 = TCausalConv3d(cout, cout)
         self.conv_shortcut = TCausalConv3d(cin, cout, (1, 1, 1)) if cin != cout else torch.nn.Identity()
 
-    def forward(self, x):
-        h = self.conv1(F.silu(self.norm1(x)))
-        h = self.conv2(F.silu(self.norm2(h)))
+    def forward(self, x, feat_cache=None, feat_idx=None):
+        h = _tcc(self.conv1, F.silu(self.norm1(x)), feat_cache, feat_idx)
+        h = _tcc(self.conv2, F.silu(self.norm2(h)), feat_cache, feat_idx)
         return self.conv_shortcut(x) + h
 
 
@@ -74,7 +96,7 @@ class TAttn(torch.nn.Module):
 
 
 class TResample(torch.nn.Module):
-    """Single-frame path: temporal convs are cache-warmup no-ops at T=1."""
+    """The full diffusers WanResample incl. the temporal cache protocol."""
 
     def __init__(self, dim, mode):
         super().__init__()
@@ -84,20 +106,52 @@ class TResample(torch.nn.Module):
                 torch.nn.Upsample(scale_factor=(2.0, 2.0), mode="nearest-exact"),
                 torch.nn.Conv2d(dim, dim // 2, 3, padding=1))
             if mode == "upsample3d":
+                # diffusers time_conv has padding=(1,0,0) -> causal front pad 2
                 self.time_conv = TCausalConv3d(dim, dim * 2, (3, 1, 1))
         else:
             self.resample = torch.nn.Sequential(
                 torch.nn.ZeroPad2d((0, 1, 0, 1)),
                 torch.nn.Conv2d(dim, dim, 3, stride=(2, 2)))
             if mode == "downsample3d":
+                # padding=(0,0,0): history comes from the cache, never zeros
                 self.time_conv = TCausalConv3d(dim, dim, (3, 1, 1), (2, 1, 1))
+                self.time_conv._pad = (0, 0, 0, 0, 0, 0)
 
-    def forward(self, x):
+    def forward(self, x, feat_cache=None, feat_idx=None):
         b, c, t, h, w = x.shape
-        assert t == 1, "mock covers the single-frame (first-chunk) path"
+        if self.mode == "upsample3d" and feat_cache is not None:
+            idx = feat_idx[0]
+            cur = feat_cache.get(idx)
+            if cur is None:
+                feat_cache[idx] = "Rep"
+            else:
+                cache_x = x[:, :, -1:].clone()
+                if cache_x.shape[2] < 2 and not isinstance(cur, str):
+                    cache_x = torch.cat([cur[:, :, -1:], cache_x], dim=2)
+                if isinstance(cur, str):
+                    y = self.time_conv(x)
+                else:
+                    y = self.time_conv(x, cur)
+                feat_cache[idx] = cache_x
+                y = y.reshape(b, 2, c, t, h, w)
+                y = torch.stack((y[:, 0], y[:, 1]), 3)
+                x = y.reshape(b, c, t * 2, h, w)
+                t = t * 2
+            feat_idx[0] += 1
         x = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
         x = self.resample(x)
-        return x.reshape(b, t, *x.shape[1:]).permute(0, 2, 1, 3, 4)
+        x = x.reshape(b, t, *x.shape[1:]).permute(0, 2, 1, 3, 4)
+        if self.mode == "downsample3d" and feat_cache is not None:
+            idx = feat_idx[0]
+            cur = feat_cache.get(idx)
+            if cur is None:
+                feat_cache[idx] = x.clone()
+            else:
+                cache_x = x[:, :, -1:].clone()
+                x = self.time_conv(torch.cat([cur[:, :, -1:], x], 2))
+                feat_cache[idx] = cache_x
+            feat_idx[0] += 1
+        return x
 
 
 class TMid(torch.nn.Module):
@@ -106,10 +160,10 @@ class TMid(torch.nn.Module):
         self.resnets = torch.nn.ModuleList([TResBlock(dim, dim), TResBlock(dim, dim)])
         self.attentions = torch.nn.ModuleList([TAttn(dim)])
 
-    def forward(self, x):
-        x = self.resnets[0](x)
+    def forward(self, x, feat_cache=None, feat_idx=None):
+        x = self.resnets[0](x, feat_cache, feat_idx)
         x = self.attentions[0](x)
-        return self.resnets[1](x)
+        return self.resnets[1](x, feat_cache, feat_idx)
 
 
 class TEncoder(torch.nn.Module):
@@ -129,12 +183,15 @@ class TEncoder(torch.nn.Module):
         self.norm_out = TRMS(dims[-1], images=False)
         self.conv_out = TCausalConv3d(dims[-1], 2 * z_dim)
 
-    def forward(self, x):
-        x = self.conv_in(x)
+    def forward(self, x, feat_cache=None, feat_idx=None):
+        x = _tcc(self.conv_in, x, feat_cache, feat_idx)
         for blk in self.down_blocks:
-            x = blk(x)
-        x = self.mid_block(x)
-        return self.conv_out(F.silu(self.norm_out(x)))
+            if isinstance(blk, (TResBlock, TResample)):
+                x = blk(x, feat_cache, feat_idx)
+            else:
+                x = blk(x)
+        x = self.mid_block(x, feat_cache, feat_idx)
+        return _tcc(self.conv_out, F.silu(self.norm_out(x)), feat_cache, feat_idx)
 
 
 class TUpBlock(torch.nn.Module):
@@ -146,11 +203,11 @@ class TUpBlock(torch.nn.Module):
             cin = cout
         self.upsamplers = torch.nn.ModuleList([TResample(cout, mode)]) if mode else None
 
-    def forward(self, x):
+    def forward(self, x, feat_cache=None, feat_idx=None):
         for r in self.resnets:
-            x = r(x)
+            x = r(x, feat_cache, feat_idx)
         if self.upsamplers is not None:
-            x = self.upsamplers[0](x)
+            x = self.upsamplers[0](x, feat_cache, feat_idx)
         return x
 
 
@@ -171,11 +228,12 @@ class TDecoder(torch.nn.Module):
         self.norm_out = TRMS(dims[-1], images=False)
         self.conv_out = TCausalConv3d(dims[-1], 3)
 
-    def forward(self, z):
-        x = self.mid_block(self.conv_in(z))
+    def forward(self, z, feat_cache=None, feat_idx=None):
+        x = _tcc(self.conv_in, z, feat_cache, feat_idx)
+        x = self.mid_block(x, feat_cache, feat_idx)
         for blk in self.up_blocks:
-            x = blk(x)
-        return self.conv_out(F.silu(self.norm_out(x)))
+            x = blk(x, feat_cache, feat_idx)
+        return _tcc(self.conv_out, F.silu(self.norm_out(x)), feat_cache, feat_idx)
 
 
 class TWanVAE(torch.nn.Module):
@@ -187,6 +245,25 @@ class TWanVAE(torch.nn.Module):
         self.post_quant_conv = TCausalConv3d(z_dim, z_dim, (1, 1, 1))
         self.decoder = TDecoder(base_dim, z_dim, dim_mult, num_res_blocks,
                                 tuple(reversed(temperal_downsample)))
+
+    def encode_chunked(self, x):
+        """diffusers AutoencoderKLWan._encode: first frame, then 4-frame
+        chunks through a shared feature cache."""
+        t = x.shape[2]
+        cache, outs = {}, []
+        for i in range(1 + (t - 1) // 4):
+            idx = [0]
+            chunk = x[:, :, :1] if i == 0 else x[:, :, 1 + 4 * (i - 1):1 + 4 * i]
+            outs.append(self.encoder(chunk, cache, idx))
+        return self.quant_conv(torch.cat(outs, dim=2))
+
+    def decode_chunked(self, z):
+        x = self.post_quant_conv(z)
+        cache, outs = {}, []
+        for i in range(x.shape[2]):
+            idx = [0]
+            outs.append(self.decoder(x[:, :, i:i + 1], cache, idx))
+        return torch.cat(outs, dim=2).clamp(-1, 1)
 
 
 CFG = dict(base_dim=24, z_dim=4, dim_mult=(1, 2, 2), num_res_blocks=1,
@@ -263,3 +340,34 @@ def test_wan_multiframe_shapes():
     assert post.mean.shape == (1, 2, 4, 4, CFG["z_dim"])
     y = jmodel.decode(post.mean)
     assert y.shape == (1, 4, 16, 16, 3)
+
+
+def test_wan_chunked_multiframe_encode_parity(pair):
+    """T = 1 + 4k clips through the chunk-exact streaming path must match
+    the diffusers cache protocol frame-for-frame (first frame alone, 4-frame
+    chunks, causal convs padding from the previous chunk's tail)."""
+    tmodel, jmodel = pair
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 9, 16, 16, 3), np.float32) * 0.5
+    with torch.no_grad():
+        tx = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+        moments_t = tmodel.encode_chunked(tx).numpy()  # (B, 2z, T', h, w)
+    post = jmodel.encode_chunked(jnp.asarray(x))
+    mean_j = np.asarray(post.mean)
+    z = CFG["z_dim"]
+    assert mean_j.shape == (1, 5, 4, 4, z)  # T' = 1 + 2 + 2
+    np.testing.assert_allclose(
+        mean_j, moments_t[:, :z].transpose(0, 2, 3, 4, 1), rtol=3e-4, atol=3e-4)
+
+
+def test_wan_chunked_multiframe_decode_parity(pair):
+    tmodel, jmodel = pair
+    rng = np.random.default_rng(8)
+    z = rng.standard_normal((1, 3, 4, 4, CFG["z_dim"]), np.float32)
+    with torch.no_grad():
+        tz = torch.from_numpy(z.transpose(0, 4, 1, 2, 3))
+        out_t = tmodel.decode_chunked(tz).numpy()
+    out_j = np.asarray(jmodel.decode_chunked(jnp.asarray(z)))
+    assert out_j.shape[1] == out_t.shape[2]
+    np.testing.assert_allclose(
+        out_j, out_t.transpose(0, 2, 3, 4, 1), rtol=3e-4, atol=3e-4)

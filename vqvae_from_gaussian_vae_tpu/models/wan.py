@@ -15,14 +15,14 @@ Module names mirror the diffusers tree (``down_blocks.3.resample.1.weight``
 -> ``down_blocks_3/resample_1/kernel``) so real checkpoints convert
 mechanically via ``utils.torch_convert``.
 
-Fidelity notes: for single-frame inputs (the only case the reference
-wrappers exercise) this matches diffusers exactly - in its chunked streaming
-loop the first frame's temporal resamples are pure cache-warmup no-ops, and
-the causal convs see two zero frames of history.  For multi-frame clips
-diffusers processes 4-frame chunks through a feature cache (a CUDA memory
-workaround); here clips are processed whole with the same causal padding,
-which matches the cache semantics for the convs but applies the temporal
-down/upsampling uniformly instead of special-casing the first frame.
+Fidelity: the flax modules process clips whole (identical to diffusers for
+single frames, the only case the reference wrappers exercise).  For
+multi-frame clips, ``encode_chunked``/``decode_chunked`` interpret the SAME
+param tree with diffusers' exact chunked streaming semantics (first frame
+alone, then 4-frame chunks through the feature cache — causal convs pad
+from the previous chunk's trailing frames, temporal downsamples skip the
+first chunk, temporal upsamples treat it as a zero-history "Rep" conv),
+matching diffusers frame-for-frame (`tests/test_wan.py` chunked parity).
 """
 
 from __future__ import annotations
@@ -275,10 +275,16 @@ class AutoencoderKLWan:
                  latents_std: Optional[Sequence[float]] = None,
                  seed: int = 0):
         self.z_dim = z_dim
+        # carried as config metadata exactly like diffusers: AutoencoderKLWan
+        # stores latents_mean/std in its config and leaves applying them to
+        # the consuming pipeline; encode/decode work on raw latents (the
+        # reference wrapper samples the raw posterior, autoencoder.py:34-37)
         self.latents_mean = latents_mean
         self.latents_std = latents_std
         common = dict(base_dim=base_dim, z_dim=z_dim, dim_mult=tuple(dim_mult),
                       num_res_blocks=num_res_blocks, attn_scales=tuple(attn_scales))
+        self._cfg = dict(common, temperal_downsample=tuple(temperal_downsample),
+                         temperal_upsample=tuple(reversed(temperal_downsample)))
         self.encoder = WanEncoder3d(
             temperal_downsample=tuple(temperal_downsample), **common)
         self.decoder = WanDecoder3d(
@@ -327,3 +333,218 @@ class AutoencoderKLWan:
 
     def decode(self, z):
         return self._dec(self.params, z)
+
+    # ---- chunk-exact streaming path (diffusers multi-frame parity) ----
+
+    def encode_chunked(self, x) -> DiagonalGaussianDistribution:
+        """diffusers-exact encode for clips of T = 1 + 4k frames: the first
+        frame alone, then 4-frame chunks through the feature cache."""
+
+        def run(params, x):
+            t = x.shape[1]
+            assert t == 1 or (t - 1) % 4 == 0, (
+                f"chunked encode expects T = 1 + 4k frames, got {t}")
+            cache, outs = {}, []
+            for i in range(1 + (t - 1) // 4):
+                idx = [0]
+                chunk = x[:, :1] if i == 0 else x[:, 1 + 4 * (i - 1):1 + 4 * i]
+                outs.append(_encoder_chunk(params["encoder"], chunk,
+                                           self._cfg, cache, idx))
+            out = jnp.concatenate(outs, axis=1)
+            return self.quant_conv.apply({"params": params["quant_conv"]}, out)
+
+        return DiagonalGaussianDistribution(jax.jit(run)(self.params, x))
+
+    def decode_chunked(self, z):
+        """diffusers-exact decode: one latent frame per chunk -> 1 + 4k
+        output frames, clamped to [-1, 1]."""
+
+        def run(params, z):
+            x = self.post_quant_conv.apply(
+                {"params": params["post_quant_conv"]}, z)
+            cache, outs = {}, []
+            for i in range(x.shape[1]):
+                idx = [0]
+                outs.append(_decoder_chunk(params["decoder"], x[:, i:i + 1],
+                                           self._cfg, cache, idx))
+            return jnp.clip(jnp.concatenate(outs, axis=1), -1.0, 1.0)
+
+        return jax.jit(run)(self.params, z)
+
+
+# --------------------------------------------------------------------------
+# Chunk-exact streaming path (diffusers parity for multi-frame clips)
+#
+# diffusers processes clips of T = 1 + 4k frames through a feature cache:
+# the first frame alone, then 4-frame chunks, with every causal conv padding
+# from the previous chunk's trailing frames (CACHE_T = 2) instead of zeros,
+# temporal downsamples skipping the first chunk (pure cache warm-up), and
+# temporal upsamples treating it as a "Rep" zero-history conv.  The flax
+# modules above process clips whole (identical for T = 1); the functions
+# below interpret the SAME param tree with the exact per-chunk cache
+# semantics, so multi-frame encode/decode match diffusers frame-for-frame.
+# The chunk loop is unrolled at trace time (T is static under jit).
+# --------------------------------------------------------------------------
+
+_CACHE_T = 2
+
+
+def _p_conv3d(x, p, stride_t: int = 1):
+    """VALID-time / SAME-space conv on (B, T, H, W, C); time padding is the
+    caller's job (cache semantics)."""
+    k = p["kernel"]
+    kh, kw = k.shape[1], k.shape[2]
+    y = jax.lax.conv_general_dilated(
+        x, k, (stride_t, 1, 1),
+        [(0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + p["bias"]
+
+
+def _p_rms(x, gamma):
+    n = x / jnp.maximum(jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                                        keepdims=True), 1e-12)
+    return (n * (x.shape[-1] ** 0.5) * gamma).astype(x.dtype)
+
+
+def _cached_conv(x, p, cache, idx):
+    """WanCausalConv3d with the diffusers feat_cache protocol: pad the time
+    front from the previous chunk's trailing frames, zeros for the rest."""
+    i = idx[0]
+    kt = p["kernel"].shape[0]
+    tp = 2 * (kt // 2)
+    cur = cache.get(i)
+    cx = x[:, -_CACHE_T:]
+    if cx.shape[1] < _CACHE_T and cur is not None:
+        cx = jnp.concatenate([cur[:, -1:], cx], axis=1)
+    xin, pad = x, tp
+    if cur is not None and tp > 0:
+        xin = jnp.concatenate([cur, x], axis=1)
+        pad = tp - cur.shape[1]
+    if pad > 0:
+        xin = jnp.pad(xin, ((0, 0), (pad, 0), (0, 0), (0, 0), (0, 0)))
+    cache[i] = cx
+    idx[0] += 1
+    return _p_conv3d(xin, p)
+
+
+def _p_resblock(x, p, cache, idx):
+    h = jax.nn.silu(_p_rms(x, p["norm1"]["gamma"]))
+    h = _cached_conv(h, p["conv1"], cache, idx)
+    h = jax.nn.silu(_p_rms(h, p["norm2"]["gamma"]))
+    h = _cached_conv(h, p["conv2"], cache, idx)
+    if "conv_shortcut" in p:
+        x = _p_conv3d(x, p["conv_shortcut"])
+    return x + h
+
+
+def _p_attn(x, p):
+    b, t, h, w, c = x.shape
+    y = _p_rms(x, p["norm"]["gamma"]).reshape(b * t, h * w, c)
+    qkv = y @ p["to_qkv"]["kernel"][0, 0] + p["to_qkv"]["bias"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    a = jnp.einsum("bqc,bkc->bqk", q, k).astype(jnp.float32) * (c ** -0.5)
+    a = jax.nn.softmax(a, axis=-1).astype(v.dtype)
+    y = jnp.einsum("bqk,bkc->bqc", a, v)
+    y = y @ p["proj"]["kernel"][0, 0] + p["proj"]["bias"]
+    return x + y.reshape(b, t, h, w, c)
+
+
+def _p_resample(x, p, mode, cache, idx):
+    b, t, h, w, c = x.shape
+    if mode == "upsample3d":
+        i = idx[0]
+        cur = cache.get(i)
+        if cur is None:
+            cache[i] = "Rep"
+        else:
+            cx = x[:, -1:]
+            if not isinstance(cur, str) and cx.shape[1] < _CACHE_T:
+                cx = jnp.concatenate([cur[:, -1:], cx], axis=1)
+            if isinstance(cur, str):  # first real chunk: zero history
+                xin = jnp.pad(x, ((0, 0), (2, 0), (0, 0), (0, 0), (0, 0)))
+            else:
+                pad = 2 - cur.shape[1]
+                xin = jnp.concatenate([cur, x], axis=1)
+                if pad > 0:
+                    xin = jnp.pad(xin, ((0, 0), (pad, 0), (0, 0), (0, 0), (0, 0)))
+            tc = _p_conv3d(xin, p["time_conv"])
+            tc = tc.reshape(b, t, h, w, 2, c)
+            x = jnp.swapaxes(tc, 4, 1).reshape(b, 2 * t, h, w, c)
+            cache[i] = cx
+            t = 2 * t
+        idx[0] += 1
+    if mode.startswith("upsample"):
+        y = x.reshape(b * t, h, w, c)
+        y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+        k2 = p["resample_1"]["kernel"]
+        y = jax.lax.conv_general_dilated(
+            y, k2, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["resample_1"]["bias"]
+        return y.reshape(b, t, 2 * h, 2 * w, c // 2)
+    # downsample: spatial first, then the (cached) temporal stride
+    y = x.reshape(b * t, h, w, c)
+    y = jnp.pad(y, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    k2 = p["resample_1"]["kernel"]
+    y = jax.lax.conv_general_dilated(
+        y, k2, (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["resample_1"]["bias"]
+    x = y.reshape(b, t, h // 2, w // 2, c)
+    if mode == "downsample3d":
+        i = idx[0]
+        cur = cache.get(i)
+        if cur is None:
+            cache[i] = x
+        else:
+            cx = x[:, -1:]
+            xin = jnp.concatenate([cur[:, -1:], x], axis=1)
+            x = _p_conv3d(xin, p["time_conv"], stride_t=2)
+            cache[i] = cx
+        idx[0] += 1
+    return x
+
+
+def _encoder_chunk(p, x, cfg, cache, idx):
+    base, dim_mult, nrb = cfg["base_dim"], cfg["dim_mult"], cfg["num_res_blocks"]
+    attn_scales, tds = cfg["attn_scales"], cfg["temperal_downsample"]
+    dims = [base * u for u in (1,) + tuple(dim_mult)]
+    x = _cached_conv(x, p["conv_in"], cache, idx)
+    scale, name_i = 1.0, 0
+    for i in range(len(dim_mult)):
+        for _ in range(nrb):
+            x = _p_resblock(x, p[f"down_blocks_{name_i}"], cache, idx)
+            name_i += 1
+            if scale in attn_scales:
+                x = _p_attn(x, p[f"down_blocks_{name_i}"])
+                name_i += 1
+        if i != len(dim_mult) - 1:
+            mode = "downsample3d" if tds[i] else "downsample2d"
+            x = _p_resample(x, p[f"down_blocks_{name_i}"], mode, cache, idx)
+            name_i += 1
+            scale /= 2.0
+    mid = p["mid_block"]
+    x = _p_resblock(x, mid["resnets_0"], cache, idx)
+    x = _p_attn(x, mid["attentions_0"])
+    x = _p_resblock(x, mid["resnets_1"], cache, idx)
+    x = jax.nn.silu(_p_rms(x, p["norm_out"]["gamma"]))
+    return _cached_conv(x, p["conv_out"], cache, idx)
+
+
+def _decoder_chunk(p, z, cfg, cache, idx):
+    base, dim_mult, nrb = cfg["base_dim"], cfg["dim_mult"], cfg["num_res_blocks"]
+    tus = cfg["temperal_upsample"]
+    x = _cached_conv(z, p["conv_in"], cache, idx)
+    mid = p["mid_block"]
+    x = _p_resblock(x, mid["resnets_0"], cache, idx)
+    x = _p_attn(x, mid["attentions_0"])
+    x = _p_resblock(x, mid["resnets_1"], cache, idx)
+    for i in range(len(dim_mult)):
+        blk = p[f"up_blocks_{i}"]
+        for j in range(nrb + 1):
+            x = _p_resblock(x, blk[f"resnets_{j}"], cache, idx)
+        if i != len(dim_mult) - 1:
+            mode = "upsample3d" if tus[i] else "upsample2d"
+            x = _p_resample(x, blk["upsamplers_0"], mode, cache, idx)
+    x = jax.nn.silu(_p_rms(x, p["norm_out"]["gamma"]))
+    return _cached_conv(x, p["conv_out"], cache, idx)
