@@ -67,6 +67,16 @@ _TARGET_ALIASES = {
     "pit.data.ImageDataModuleFromConfig": "vqvae_from_gaussian_vae_tpu.data.dataset.ImageDataModuleFromConfig",
     "pit.data.SimpleDataset": "vqvae_from_gaussian_vae_tpu.data.dataset.SimpleDataset",
     "main.ImageLogger": "vqvae_from_gaussian_vae_tpu.utils.loggers.ImageLogger",
+    # frozen third-party eval baselines (`pit/models/autoencoder.py:25-217`)
+    "pit.models.autoencoder.AutoencoderKLQwenImage": "vqvae_from_gaussian_vae_tpu.models.third_party.AutoencoderKLQwenImage",
+    "pit.models.autoencoder.AutoencoderKLWAN": "vqvae_from_gaussian_vae_tpu.models.third_party.AutoencoderKLWAN",
+    "pit.models.autoencoder.AutoencoderKLFLUX": "vqvae_from_gaussian_vae_tpu.models.third_party.AutoencoderKLFLUX",
+    "pit.models.autoencoder.AutoencoderKLSD3": "vqvae_from_gaussian_vae_tpu.models.third_party.AutoencoderKLSD3",
+    "pit.models.autoencoder.AutoencoderKLEQ": "vqvae_from_gaussian_vae_tpu.models.third_party.AutoencoderKLEQ",
+    "pit.models.autoencoder.AutoencoderKLHYImage2": "vqvae_from_gaussian_vae_tpu.models.third_party.AutoencoderKLHYImage2",
+    "pit.models.autoencoder.AutoencoderKLHYImage3": "vqvae_from_gaussian_vae_tpu.models.third_party.AutoencoderKLHYImage3",
+    "pit.models.postprocessor.AutoencodingPostEngine": "vqvae_from_gaussian_vae_tpu.models.postprocessor.AutoencodingPostEngine",
+    "pit.models.hyvae.HunyuanVAE2D": "vqvae_from_gaussian_vae_tpu.models.hyvae.HunyuanVAE2D",
 }
 
 
