@@ -34,6 +34,21 @@ if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
     except RuntimeError:
         pass  # backend already initialised; caller controlled it explicitly
 
+# Persistent XLA compilation cache: the full fused-kernel engine takes
+# minutes to compile cold (the eval metric graph ~15 min over the remote
+# tunnel); with the cache, re-runs of bench/eval/serve start warm.  Opt out
+# with GVQ_COMPILE_CACHE=off, redirect with GVQ_COMPILE_CACHE=<dir>.
+_cache_dir = _os.environ.get("GVQ_COMPILE_CACHE", "")
+if _cache_dir.lower() != "off":
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _cache_dir or _os.path.expanduser("~/.cache/vqvae_gvq_tpu/xla"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax or read-only fs: cold compiles only
+
 from vqvae_from_gaussian_vae_tpu.utils.config import (  # noqa: F401
     instantiate_from_config,
     get_obj_from_str,
