@@ -57,10 +57,19 @@ def group_norm_from_stats(x, stats, scale, bias, num_groups: int = 32,
 def _resample_fuses(flag: bool, train: bool, h: int, dtype) -> bool:
     """True when Up/Downsample will take the Pallas fused path (must mirror
     the use_fused conditions in those modules); lets the level defer the
-    last resblock's residual add into the kernel."""
+    last resblock's residual add into the kernel.
+
+    GVQ_DISABLE_FUSED_KERNELS=1 forces the plain XLA path everywhere — the
+    escape hatch for multi-chip GSPMD meshes, where un-annotated custom
+    calls can force operand replication (single-chip is the benched path;
+    multi-chip fused-kernel partitioning is future work, docs/kernels.md).
+    """
+    import os
+
     return (
         bool(flag)
         and not train
+        and os.environ.get("GVQ_DISABLE_FUSED_KERNELS", "") != "1"
         and jax.default_backend() == "tpu"
         and h % 4 == 0
         and jnp.dtype(dtype) == jnp.bfloat16
