@@ -308,6 +308,9 @@ class AutoencoderKLWan:
         }
         self._enc = jax.jit(self._encode_moments)
         self._dec = jax.jit(self._decode_impl)
+        # jit once; retraces per clip length (static shapes), not per call
+        self._enc_chunked = jax.jit(self._encode_chunked_impl)
+        self._dec_chunked = jax.jit(self._decode_chunked_impl)
 
     def _encode_moments(self, params, x):
         h = self.encoder.apply({"params": params["encoder"]}, x)
@@ -336,40 +339,37 @@ class AutoencoderKLWan:
 
     # ---- chunk-exact streaming path (diffusers multi-frame parity) ----
 
+    def _encode_chunked_impl(self, params, x):
+        t = x.shape[1]
+        assert t == 1 or (t - 1) % 4 == 0, (
+            f"chunked encode expects T = 1 + 4k frames, got {t}")
+        cache, outs = {}, []
+        for i in range(1 + (t - 1) // 4):
+            idx = [0]
+            chunk = x[:, :1] if i == 0 else x[:, 1 + 4 * (i - 1):1 + 4 * i]
+            outs.append(_encoder_chunk(params["encoder"], chunk,
+                                       self._cfg, cache, idx))
+        out = jnp.concatenate(outs, axis=1)
+        return self.quant_conv.apply({"params": params["quant_conv"]}, out)
+
     def encode_chunked(self, x) -> DiagonalGaussianDistribution:
         """diffusers-exact encode for clips of T = 1 + 4k frames: the first
         frame alone, then 4-frame chunks through the feature cache."""
+        return DiagonalGaussianDistribution(self._enc_chunked(self.params, x))
 
-        def run(params, x):
-            t = x.shape[1]
-            assert t == 1 or (t - 1) % 4 == 0, (
-                f"chunked encode expects T = 1 + 4k frames, got {t}")
-            cache, outs = {}, []
-            for i in range(1 + (t - 1) // 4):
-                idx = [0]
-                chunk = x[:, :1] if i == 0 else x[:, 1 + 4 * (i - 1):1 + 4 * i]
-                outs.append(_encoder_chunk(params["encoder"], chunk,
-                                           self._cfg, cache, idx))
-            out = jnp.concatenate(outs, axis=1)
-            return self.quant_conv.apply({"params": params["quant_conv"]}, out)
-
-        return DiagonalGaussianDistribution(jax.jit(run)(self.params, x))
+    def _decode_chunked_impl(self, params, z):
+        x = self.post_quant_conv.apply({"params": params["post_quant_conv"]}, z)
+        cache, outs = {}, []
+        for i in range(x.shape[1]):
+            idx = [0]
+            outs.append(_decoder_chunk(params["decoder"], x[:, i:i + 1],
+                                       self._cfg, cache, idx))
+        return jnp.clip(jnp.concatenate(outs, axis=1), -1.0, 1.0)
 
     def decode_chunked(self, z):
         """diffusers-exact decode: one latent frame per chunk -> 1 + 4k
         output frames, clamped to [-1, 1]."""
-
-        def run(params, z):
-            x = self.post_quant_conv.apply(
-                {"params": params["post_quant_conv"]}, z)
-            cache, outs = {}, []
-            for i in range(x.shape[1]):
-                idx = [0]
-                outs.append(_decoder_chunk(params["decoder"], x[:, i:i + 1],
-                                           self._cfg, cache, idx))
-            return jnp.clip(jnp.concatenate(outs, axis=1), -1.0, 1.0)
-
-        return jax.jit(run)(self.params, z)
+        return self._dec_chunked(self.params, z)
 
 
 # --------------------------------------------------------------------------
