@@ -242,10 +242,11 @@ def main():
                 from PIL import Image
 
                 if multi:
-                    # this host's rows, in local-batch order
-                    rec = np.concatenate(
-                        [np.asarray(s.data) for s in out["rec"].addressable_shards]
-                    )
+                    # this host's rows, in local-batch order (shard iteration
+                    # order is not contractually row order - sort by offset)
+                    shards = sorted(out["rec"].addressable_shards,
+                                    key=lambda sh: sh.index[0].start or 0)
+                    rec = np.concatenate([np.asarray(sh.data) for sh in shards])
                 else:
                     rec = np.asarray(out["rec"])
                 for b, fpath in enumerate(batch["fpath"]):

@@ -138,3 +138,17 @@ def test_hf_conditioners_tiny():
     assert np.isfinite(np.asarray(seq)).all() and np.isfinite(np.asarray(vec)).all()
     with pytest.raises(AssertionError):
         t5_emb(["no tokenizer injected"])
+
+
+def test_flux_prompt_requires_both_conditioners():
+    from vqvae_from_gaussian_vae_tpu.models.flux_pipeline import FluxPipeline
+    from vqvae_from_gaussian_vae_tpu.models.third_party import AutoencoderKLDiffusers
+
+    pipe = FluxPipeline(control_channels=4, flux_params=TINY, controlnet_depth=1)
+    pipe.ae = AutoencoderKLDiffusers(latent_channels=16, ch=32, ch_mult=[1, 2],
+                                     resolution=32, scaling_factor=0.3611,
+                                     shift_factor=0.1159)
+    pipe.init_params(height=32, width=32, txt_len=8)
+    control = jnp.zeros((1, 4, 4, 4))
+    with pytest.raises(ValueError, match="t5_path and clip_path"):
+        pipe(control, width=32, height=32, num_steps=1, txt_len=8, prompt="a cat")

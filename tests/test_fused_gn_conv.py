@@ -47,3 +47,19 @@ def test_gn_affine_decomposition():
         {"params": {"scale": gamma, "bias": beta}}, x
     )
     np.testing.assert_allclose(np.asarray(direct), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_residual_branch():
+    """The optional residual-add epilogue must equal ref + residual."""
+    rng = np.random.default_rng(3)
+    B, H, W, C = 2, 8, 16, 32
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    res = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    ref = _ref(x, gamma, beta, w, b) + res
+    got = fused_gn_swish_conv(x, gamma, beta, w, b, block_h=8, interpret=True,
+                              residual=res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -42,9 +42,6 @@ def test_stats_variant_matches_groupnorm_stats():
     """The (sum, sumsq) epilogue must equal a direct reduce of the output,
     and group_norm_from_stats must reproduce flax GroupNorm."""
     import flax.linen as nn
-    from vqvae_from_gaussian_vae_tpu.ops.upsample_conv import (
-        upsample_nearest_conv3x3_stats,
-    )
     from vqvae_from_gaussian_vae_tpu.models.unet import group_norm_from_stats
 
     rng = np.random.default_rng(3)
@@ -52,7 +49,7 @@ def test_stats_variant_matches_groupnorm_stats():
     x = jnp.asarray(rng.standard_normal((b, h, wd, c)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32)
     bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
-    y, stats = upsample_nearest_conv3x3_stats(x, w, bias, interpret=True)
+    y, stats = upsample_nearest_conv3x3_gn(x, w, bias, interpret=True)
     yf = np.asarray(y, np.float64).reshape(b, -1, c)
     np.testing.assert_allclose(np.asarray(stats[:, 0]), yf.sum(1), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(stats[:, 1]), (yf ** 2).sum(1), rtol=1e-4)

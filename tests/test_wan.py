@@ -125,7 +125,7 @@ class TResample(torch.nn.Module):
             if cur is None:
                 feat_cache[idx] = "Rep"
             else:
-                cache_x = x[:, :, -1:].clone()
+                cache_x = x[:, :, -CACHE_T:].clone()
                 if cache_x.shape[2] < 2 and not isinstance(cur, str):
                     cache_x = torch.cat([cur[:, :, -1:], cache_x], dim=2)
                 if isinstance(cur, str):
@@ -371,3 +371,47 @@ def test_wan_chunked_multiframe_decode_parity(pair):
     assert out_j.shape[1] == out_t.shape[2]
     np.testing.assert_allclose(
         out_j, out_t.transpose(0, 2, 3, 4, 1), rtol=3e-4, atol=3e-4)
+
+
+CFG2 = dict(base_dim=16, z_dim=4, dim_mult=(1, 2, 2), num_res_blocks=1,
+            temperal_downsample=(True, True))
+
+
+@pytest.fixture(scope="module")
+def pair2():
+    """Two temporal down/upsamples: the second decoder upsample3d sees t=2
+    chunks, exercising the frame interleave and the 2-frame cache depth
+    (a single-temporal config keeps t=1 everywhere and cannot)."""
+    torch.manual_seed(1)
+    tmodel = TWanVAE(**CFG2).eval()
+    jmodel = AutoencoderKLWan(**CFG2)
+    missing, unexpected = _load(jmodel, tmodel.state_dict())
+    assert missing == [] and unexpected == []
+    return tmodel, jmodel
+
+
+def test_wan_chunked_two_temporal_stages_encode(pair2):
+    tmodel, jmodel = pair2
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, 9, 16, 16, 3), np.float32) * 0.5
+    with torch.no_grad():
+        moments_t = tmodel.encode_chunked(
+            torch.from_numpy(x.transpose(0, 4, 1, 2, 3))).numpy()
+    mean_j = np.asarray(jmodel.encode_chunked(jnp.asarray(x)).mean)
+    z = CFG2["z_dim"]
+    assert mean_j.shape == (1, 3, 4, 4, z)  # T' = 1 + 1 + 1
+    np.testing.assert_allclose(
+        mean_j, moments_t[:, :z].transpose(0, 2, 3, 4, 1), rtol=3e-4, atol=3e-4)
+
+
+def test_wan_chunked_two_temporal_stages_decode(pair2):
+    tmodel, jmodel = pair2
+    rng = np.random.default_rng(10)
+    z = rng.standard_normal((1, 3, 4, 4, CFG2["z_dim"]), np.float32)
+    with torch.no_grad():
+        out_t = tmodel.decode_chunked(
+            torch.from_numpy(z.transpose(0, 4, 1, 2, 3))).numpy()
+    out_j = np.asarray(jmodel.decode_chunked(jnp.asarray(z)))
+    assert out_j.shape == (1, 9, 16, 16, 3)  # 1 + 4 + 4 frames
+    np.testing.assert_allclose(
+        out_j, out_t.transpose(0, 2, 3, 4, 1), rtol=5e-4, atol=5e-4)

@@ -116,7 +116,12 @@ class FluxPipeline:
         assert self.model_params is not None, "call init_params() first"
         b = controlnet_image.shape[0]
         p = self.params_cfg
-        if prompt is not None and self.t5 is not None and self.clip is not None:
+        if prompt is not None and (self.t5 is None or self.clip is None):
+            raise ValueError(
+                "prompt= needs both t5_path and clip_path conditioners "
+                "configured; pass embeddings via inp_txt/inp_vec instead"
+            )
+        if prompt is not None:
             # the reference's HFEmbedder path (`xflux_pipeline.py` prompt
             # encoding): T5 sequence embeddings + pooled CLIP vector
             inp_txt = jnp.tile(self.t5([prompt]), (b, 1, 1)) if inp_txt is None else inp_txt

@@ -79,8 +79,10 @@ class MultiheadAttention(nn.Module):
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes, flash_attention)
 
-            bq = min(512, l)
-            bk = min(1024, l)
+            # blocks must divide the sequence length (the kernel asserts it);
+            # l % 128 == 0 guarantees a divisor exists in each ladder
+            bq = next(bsz for bsz in (512, 256, 128) if l % bsz == 0)
+            bk = next(bsz for bsz in (1024, 512, 256, 128) if l % bsz == 0)
             out = flash_attention(
                 q, k, v, causal=False, sm_scale=hd ** -0.5,
                 block_sizes=BlockSizes(

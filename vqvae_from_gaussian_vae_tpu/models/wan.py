@@ -132,7 +132,9 @@ class WanResample(nn.Module):
                                   dtype=self.dtype)(x)
                 # channel halves -> even/odd frames: (..., 2c) == [2, c] split
                 tc = tc.reshape(b, t, h, w, 2, c)
-                x = jnp.swapaxes(tc, 4, 1).reshape(b, 2 * t, h, w, c)
+                # y[:, 2i+di] = channel-half di of frame i (diffusers'
+                # (b,2,c,t,..) -> stack(dim=3)): order (t, 2) on the time axis
+                x = tc.transpose(0, 1, 4, 2, 3, 5).reshape(b, 2 * t, h, w, c)
                 t = 2 * t
             y = x.reshape(b * t, h, w, c)
             y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
@@ -459,8 +461,8 @@ def _p_resample(x, p, mode, cache, idx):
         if cur is None:
             cache[i] = "Rep"
         else:
-            cx = x[:, -1:]
-            if not isinstance(cur, str) and cx.shape[1] < _CACHE_T:
+            cx = x[:, -_CACHE_T:]
+            if cx.shape[1] < _CACHE_T and not isinstance(cur, str):
                 cx = jnp.concatenate([cur[:, -1:], cx], axis=1)
             if isinstance(cur, str):  # first real chunk: zero history
                 xin = jnp.pad(x, ((0, 0), (2, 0), (0, 0), (0, 0), (0, 0)))
@@ -471,7 +473,8 @@ def _p_resample(x, p, mode, cache, idx):
                     xin = jnp.pad(xin, ((0, 0), (pad, 0), (0, 0), (0, 0), (0, 0)))
             tc = _p_conv3d(xin, p["time_conv"])
             tc = tc.reshape(b, t, h, w, 2, c)
-            x = jnp.swapaxes(tc, 4, 1).reshape(b, 2 * t, h, w, c)
+            # order (t, 2): y[:, 2i+di] = channel-half di of frame i
+            x = tc.transpose(0, 1, 4, 2, 3, 5).reshape(b, 2 * t, h, w, c)
             cache[i] = cx
             t = 2 * t
         idx[0] += 1

@@ -16,7 +16,8 @@ decoder shapes (bs=16, bf16): 2.7 vs 6.6 ms (32->64 x512), 4.9 vs 9.0
 nearest+conv.  models/unet.py Upsample routes here on the TPU inference
 path.
 
-Grid: 1-D over (batch x row-bands).  The band's 1-row halos are separate
+Grid: 1-D over row-bands (full batch per program, (H, W, B, C) logical
+order - see _kernel_hwbc).  The band's 1-row halos are separate
 blocked inputs with clamped index maps (zero-masked at the image edges), so
 the Pallas grid machinery double-buffers every fetch.  Per band and phase
 (di, dj), the four 2x2 taps are (bh*W, C) x (C, O) MXU matmuls with fp32
@@ -65,55 +66,6 @@ def phase_kernels(w: jax.Array) -> jax.Array:
             row_o.append(k22)
         out.append(jnp.stack(row_o, axis=0))
     return jnp.stack(out, axis=0)
-
-
-def _kernel(n_bands: int, block_h: int, with_stats: bool,
-            k22_ref, bias_ref, top_ref, ctr_ref, bot_ref, out_ref,
-            *stats_refs):
-    k = pl.program_id(0)
-    hi = k % n_bands
-    bh = block_h
-    wdim = ctr_ref.shape[2]
-    c = ctr_ref.shape[3]
-    o = out_ref.shape[3]
-
-    xb = jnp.concatenate([top_ref[0], ctr_ref[0], bot_ref[0]], axis=0)  # (bh+2, W, C)
-    # zero the out-of-image halo rows (conv zero pad on the upsampled grid)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, 1, 1), 0)
-    valid = ~((rows == 0) & (hi == 0))
-    valid &= ~((rows == bh + 1) & (hi == n_bands - 1))
-    xb = jnp.where(valid, xb, jnp.zeros_like(xb))
-    xp = jnp.pad(xb, ((0, 0), (1, 1), (0, 0)))  # width halo (zero pad)
-
-    bias = bias_ref[0].astype(jnp.float32)[None, :]
-    phases = []
-    for di in (0, 1):
-        for dj in (0, 1):
-            acc = jnp.zeros((bh * wdim, o), jnp.float32)
-            for a in (0, 1):
-                for bb in (0, 1):
-                    tile = xp[di + a:di + a + bh, dj + bb:dj + bb + wdim]
-                    acc = acc + jnp.dot(
-                        tile.reshape(bh * wdim, c),
-                        k22_ref[di, dj, a, bb],
-                        preferred_element_type=jnp.float32,
-                    )
-            phases.append((acc + bias).reshape(bh, wdim, o).astype(out_ref.dtype))
-    # interleave: y[2i+di, 2j+dj] = phase(di, dj)[i, j]
-    row0 = jnp.stack([phases[0], phases[1]], axis=2).reshape(bh, 2 * wdim, o)
-    row1 = jnp.stack([phases[2], phases[3]], axis=2).reshape(bh, 2 * wdim, o)
-    out_ref[0] = jnp.stack([row0, row1], axis=1).reshape(2 * bh, 2 * wdim, o)
-    if with_stats:
-        # per-band channel sums of the (cast) output, for the consumer's
-        # GroupNorm: computed in-VMEM so the full-res tensor is never
-        # re-read from HBM for statistics
-        s = jnp.zeros((o,), jnp.float32)
-        ss = jnp.zeros((o,), jnp.float32)
-        for p in phases:
-            pf = p.astype(jnp.float32)
-            s = s + jnp.sum(pf, axis=(0, 1))
-            ss = ss + jnp.sum(pf * pf, axis=(0, 1))
-        stats_refs[0][0, 0] = jnp.stack([s, ss], axis=0)
 
 
 def _kernel_hwbc(n_bands: int, block_h: int, with_stats: bool, with_add: bool,
@@ -176,50 +128,16 @@ def _kernel_hwbc(n_bands: int, block_h: int, with_stats: bool, with_add: bool,
         stats_refs[0][0] = jnp.stack([s, ss], axis=1)  # (B, 2, O)
 
 
-def _pick_block_h(x, o, block_h, with_stats=False):
-    b, h, wd, c = x.shape
-    itemsize = x.dtype.itemsize
-    # the stats epilogue keeps extra f32 temporaries live; leave headroom
-    budget = (9 if with_stats else 11) * 2**20
-
-    def vmem_bytes(bh):
-        return (
-            2 * bh * wd * c * itemsize       # center (double-buffered)
-            + 4 * wd * c * itemsize          # halo rows
-            + (bh + 2) * (wd + 2) * c * itemsize  # padded band
-            + bh * wd * o * 4                # phase accumulator
-            + 4 * bh * wd * o * itemsize     # phases
-            + 2 * 4 * bh * wd * o * itemsize  # out (double-buffered)
-            + 16 * c * o * itemsize          # phase kernels
-        )
-
-    while block_h > 4 and (vmem_bytes(block_h) > budget or h % block_h):
-        block_h //= 2
-    while h % block_h:
-        block_h //= 2
-    assert block_h >= 1, (h, block_h)
-    return block_h
-
-
 def upsample_nearest_conv3x3(x, w, bias, block_h: int = 16, interpret=None):
-    """nearest-x2 upsample + 3x3 same-pad conv: (B,H,W,C) -> (B,2H,2W,O)."""
+    """nearest-x2 upsample + 3x3 same-pad conv: (B,H,W,C) -> (B,2H,2W,O)
+    (the layout-preserving kernel without the stats epilogue)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _upsample_conv(x, w, bias, _pick_block_h(x, w.shape[-1], block_h),
-                          interpret, False)
-
-
-def upsample_nearest_conv3x3_stats(x, w, bias, block_h: int = 16, interpret=None):
-    """Like upsample_nearest_conv3x3 but also returns per-sample channel
-    statistics of the output — (B, 2, O) f32 (sum, sum-of-squares over
-    H*W) — computed in-VMEM for the consumer's GroupNorm so the full-res
-    tensor is not re-read from HBM (see models/unet.py Upsample)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    y, stats = _upsample_conv(x, w, bias,
-                              _pick_block_h(x, w.shape[-1], block_h, True),
-                              interpret, True)
-    return y, jnp.sum(stats, axis=1)  # (B, n_bands, 2, O) -> (B, 2, O)
+    xt = jnp.transpose(x, (1, 2, 0, 3))
+    yt = _upsample_conv_hwbc(
+        xt, None, w, bias, _pick_block_h_hwbc(xt, w.shape[-1], block_h),
+        interpret, False)
+    return jnp.transpose(yt, (2, 0, 1, 3))
 
 
 def _pick_block_h_hwbc(x, o, block_h, with_add=False):
@@ -331,55 +249,3 @@ def _upsample_conv_hwbc(xt, at, w, bias, block_h: int, interpret: bool,
     return res
 
 
-@functools.partial(jax.jit, static_argnames=("block_h", "interpret", "with_stats"))
-def _upsample_conv(x, w, bias, block_h: int, interpret: bool, with_stats: bool):
-    b, h, wd, c = x.shape
-    o = w.shape[-1]
-    assert h % block_h == 0, (h, block_h)
-    n_bands = h // block_h
-    dtype = x.dtype
-    k22 = phase_kernels(w).astype(dtype)
-
-    def ctr_map(k):
-        return (k // n_bands, k % n_bands, 0, 0)
-
-    def top_map(k):
-        hi = k % n_bands
-        return (k // n_bands, jnp.maximum(hi * block_h - 1, 0), 0, 0)
-
-    def bot_map(k):
-        hi = k % n_bands
-        return (k // n_bands, jnp.minimum((hi + 1) * block_h, h - 1), 0, 0)
-
-    out_shapes = [jax.ShapeDtypeStruct((b, 2 * h, 2 * wd, o), dtype)]
-    out_specs = [pl.BlockSpec((1, 2 * block_h, 2 * wd, o), ctr_map,
-                              memory_space=pltpu.VMEM)]
-    if with_stats:
-        out_shapes.append(jax.ShapeDtypeStruct((b, n_bands, 2, o), jnp.float32))
-        out_specs.append(pl.BlockSpec(
-            (1, 1, 2, o), lambda k: (k // n_bands, k % n_bands, 0, 0),
-            memory_space=pltpu.VMEM))
-
-    res = pl.pallas_call(
-        functools.partial(_kernel, n_bands, block_h, with_stats),
-        grid=(b * n_bands,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k22 (2,2,2,2,C,O)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, O)
-            pl.BlockSpec((1, 1, wd, c), top_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_h, wd, c), ctr_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, wd, c), bot_map, memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs if with_stats else out_specs[0],
-        out_shape=out_shapes if with_stats else out_shapes[0],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * wd * 16 * c * o,
-            bytes_accessed=b * h * wd * c * (1 + 4) * jnp.dtype(dtype).itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(k22, bias.reshape(1, o).astype(dtype), x, x, x)
-    return res
