@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""GAN train-step benchmark: ae phase (disc active) + disc phase on the
+flagship sd3unet_gq_0.25 at 256x256, reported as img/s and as fractions of
+the analytic train-step roofline (utils/flops.py:gan_train_step_flops).
+
+Env knobs:
+  BENCH_BATCH=8  BENCH_ITERS=20  BENCH_TRIALS=3
+  BENCH_DTYPE=fp32|bf16   (bf16 = the configs/overlays/bf16_compute.yaml
+                           overlay: engine + loss compute in bfloat16)
+  BENCH_PROFILE=/tmp/trace  (capture a jax.profiler trace of a few steps)
+
+Prints one JSON line per phase plus the pair average.  Timing brackets a
+host fetch of a dependent log scalar (see bench.py timing note: on the
+tunneled axon platform block_until_ready does not reliably block).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from vqvae_from_gaussian_vae_tpu import instantiate_from_config
+    from vqvae_from_gaussian_vae_tpu.parallel.train_state import make_optimizers
+    from vqvae_from_gaussian_vae_tpu.parallel.train_step import TrainStepBuilder
+    from vqvae_from_gaussian_vae_tpu.utils.config import load_config
+    from vqvae_from_gaussian_vae_tpu.utils import flops as F
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    dtype = os.environ.get("BENCH_DTYPE", "bf16")
+    profile_dir = os.environ.get("BENCH_PROFILE")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bases = [os.path.join(root, "configs", "sd3unet_gq_0.25.yaml")]
+    if dtype == "bf16":
+        bases.append(os.path.join(root, "configs", "overlays", "bf16_compute.yaml"))
+    cfg = load_config(bases)
+    cfg["model"]["params"].pop("ckpt_path", None)
+
+    engine = instantiate_from_config(cfg["model"])
+    ae_opt, disc_opt = make_optimizers(1e-4)
+    builder = TrainStepBuilder(engine, ae_opt, disc_opt)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (batch, 256, 256, 3)).astype(np.float32)
+    state = builder.init_state(jax.random.PRNGKey(0), {"img": x})
+    # put the step past disc_start so both phases run their real graphs
+    state = state.replace(step=jnp.int32(engine.loss.disc_start + 10))
+    batch_dev = {"img": jnp.asarray(x)}
+
+    def run(step_fn, label):
+        nonlocal state
+        state, log = step_fn(state, batch_dev)  # compile + warm
+        key = next(k for k in log if k.endswith("loss/total") or k.endswith("loss/disc"))
+        _ = np.asarray(log[key])
+        best = float("inf")
+        for _t in range(trials):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.0)
+            for _ in range(iters):
+                state, log = step_fn(state, batch_dev)
+                acc = acc + log[key]
+            _ = np.asarray(acc)
+            best = min(best, time.perf_counter() - t0)
+        ms = best / iters * 1e3
+        return ms
+
+    ae_fn = lambda s, b: builder.ae_step(s, b, disc_active=True)
+    ae_ms = run(ae_fn, "ae")
+    disc_ms = run(builder.disc_step, "disc")
+
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            for _ in range(3):
+                state, log = ae_fn(state, batch_dev)
+            for _ in range(3):
+                state, log = builder.disc_step(state, batch_dev)
+            _ = np.asarray(log[next(iter(log))])
+
+    enc_cfg = {k: v for k, v in
+               cfg["model"]["params"]["encoder_config"]["params"].items()
+               if k != "dtype"}
+    fl = F.gan_train_step_flops(enc_cfg, img=256, ndf=160, n_layers=6)
+    peak = F.TPU_PEAKS["v5e_bf16"]
+    pair_ms = (ae_ms + disc_ms) / 2.0
+    out = {
+        "ae_step_ms": round(ae_ms, 2),
+        "disc_step_ms": round(disc_ms, 2),
+        "pair_img_per_s": round(batch / (pair_ms / 1e3) / 2.0 * 2.0, 2),
+    }
+    # pair throughput: one ae + one disc step consumes 2 batches
+    pair_img_s = 2 * batch / ((ae_ms + disc_ms) / 1e3)
+    out["pair_img_per_s"] = round(pair_img_s, 2)
+    for name, ms, flops in (("ae", ae_ms, fl["ae_step"]),
+                            ("disc", disc_ms, fl["disc_step"]),
+                            ("pair", pair_ms, fl["pair_avg"])):
+        roof_ms = flops * batch / peak * 1e3
+        out[f"{name}_roofline_frac"] = round(roof_ms / ms, 4)
+    print(json.dumps({
+        "metric": f"GAN train-step pair img/s (sd3unet_gq_0.25, {dtype}, bs={batch})",
+        "value": out["pair_img_per_s"], "unit": "img/s",
+        "vs_baseline": out["pair_roofline_frac"], **out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Gradient parity for the differentiable fused resample kernels.
+
+The custom VJP's backward is the phase-algebra adjoint
+(ops/upsample_conv.py:_upsample_bwd_math); these tests check it against
+jax.grad of the plain nearest-up + 3x3-conv + stats reference, including
+the GN-stats cotangent path (stats feed group_norm_from_stats in the
+consuming resblock, so their gradient must flow).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvae_from_gaussian_vae_tpu.ops.upsample_conv import (
+    upsample_nearest_conv3x3_gn_add_vjp,
+    upsample_nearest_conv3x3_gn_vjp,
+)
+
+
+def _ref(x, w, bias, add=None):
+    xin = x if add is None else x + add
+    up = jnp.repeat(jnp.repeat(xin, 2, axis=1), 2, axis=2)
+    y = jax.lax.conv_general_dilated(
+        up, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    yf = y.astype(jnp.float32)
+    stats = jnp.stack(
+        [jnp.sum(yf, axis=(1, 2)), jnp.sum(yf * yf, axis=(1, 2))], axis=1
+    )
+    return y, stats
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape), jnp.float32)
+
+
+@pytest.mark.parametrize("with_add", [False, True])
+def test_fused_upsample_grads_match_xla(with_add):
+    b, h, w_, c, o = 2, 8, 8, 8, 8
+    x = _rand((b, h, w_, c), 0)
+    add = _rand((b, h, w_, c), 1) if with_add else None
+    w = _rand((3, 3, c, o), 2) * 0.2
+    bias = _rand((o,), 3) * 0.1
+    ry = _rand((b, 2 * h, 2 * w_, o), 4)
+    rs = _rand((b, 2, o), 5) * 0.01
+
+    def scal(fn):
+        def f(*args):
+            y, stats = fn(*args)
+            return jnp.sum(y.astype(jnp.float32) * ry) + jnp.sum(stats * rs)
+        return f
+
+    if with_add:
+        fused = lambda x, a, w, bb: upsample_nearest_conv3x3_gn_add_vjp(x, a, w, bb)
+        args = (x, add, w, bias)
+        ref = lambda x, a, w, bb: _ref(x, w, bb, add=a)
+    else:
+        fused = lambda x, w, bb: upsample_nearest_conv3x3_gn_vjp(x, w, bb)
+        args = (x, w, bias)
+        ref = lambda x, w, bb: _ref(x, w, bb)
+
+    # forward parity
+    y_f, s_f = fused(*args)
+    y_r, s_r = ref(*args)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_r), atol=2e-3, rtol=2e-4)
+
+    g_f = jax.grad(scal(fused), argnums=tuple(range(len(args))))(*args)
+    g_r = jax.grad(scal(ref), argnums=tuple(range(len(args))))(*args)
+    for a, b_, name in zip(g_f, g_r, ["x", "add", "w", "bias"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-4, rtol=3e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_fused_upsample_grads_under_jit_and_remat():
+    b, h, w_, c, o = 2, 4, 4, 8, 8
+    x = _rand((b, h, w_, c), 0)
+    w = _rand((3, 3, c, o), 1) * 0.2
+    bias = _rand((o,), 2) * 0.1
+
+    @jax.jit
+    def loss(x, w, bias):
+        f = jax.checkpoint(
+            lambda *a: upsample_nearest_conv3x3_gn_vjp(*a)[0]
+        )
+        return jnp.sum(f(x, w, bias) ** 2)
+
+    g = jax.grad(loss)(x, w, bias)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+from vqvae_from_gaussian_vae_tpu.ops.downsample_conv import (
+    downsample_conv3x3_gn_add_vjp,
+    downsample_conv3x3_gn_vjp,
+)
+
+
+def _ref_down(x, w, bias, add=None):
+    xin = x if add is None else x + add
+    xp = jnp.pad(xin, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, w, (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    yf = y.astype(jnp.float32)
+    stats = jnp.stack(
+        [jnp.sum(yf, axis=(1, 2)), jnp.sum(yf * yf, axis=(1, 2))], axis=1
+    )
+    return y, stats
+
+
+@pytest.mark.parametrize("with_add", [False, True])
+def test_fused_downsample_grads_match_xla(with_add):
+    b, h, w_, c, o = 2, 8, 8, 8, 8
+    x = _rand((b, h, w_, c), 10)
+    add = _rand((b, h, w_, c), 11) if with_add else None
+    w = _rand((3, 3, c, o), 12) * 0.2
+    bias = _rand((o,), 13) * 0.1
+    ry = _rand((b, h // 2, w_ // 2, o), 14)
+    rs = _rand((b, 2, o), 15) * 0.01
+
+    def scal(fn):
+        def f(*args):
+            y, stats = fn(*args)
+            return jnp.sum(y.astype(jnp.float32) * ry) + jnp.sum(stats * rs)
+        return f
+
+    if with_add:
+        fused = lambda x, a, w, bb: downsample_conv3x3_gn_add_vjp(x, a, w, bb)
+        args = (x, add, w, bias)
+        ref = lambda x, a, w, bb: _ref_down(x, w, bb, add=a)
+    else:
+        fused = lambda x, w, bb: downsample_conv3x3_gn_vjp(x, w, bb)
+        args = (x, w, bias)
+        ref = lambda x, w, bb: _ref_down(x, w, bb)
+
+    y_f, s_f = fused(*args)
+    y_r, s_r = ref(*args)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_r), atol=2e-3, rtol=2e-4)
+
+    g_f = jax.grad(scal(fused), argnums=tuple(range(len(args))))(*args)
+    g_r = jax.grad(scal(ref), argnums=tuple(range(len(args))))(*args)
+    for a, b_, name in zip(g_f, g_r, ["x", "add", "w", "bias"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-4, rtol=3e-4,
+            err_msg=f"grad mismatch for {name}",
+        )

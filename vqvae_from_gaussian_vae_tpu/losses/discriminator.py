@@ -25,18 +25,21 @@ class ActNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         def loc_init(rng):
-            mean = jnp.mean(x, axis=(0, 1, 2))
+            mean = jnp.mean(x.astype(jnp.float32), axis=(0, 1, 2))
             return (-mean).reshape(1, 1, 1, self.num_features)
 
         def scale_init(rng):
             # torch .std(): unbiased (ddof=1) over all positions per channel
             n = x.shape[0] * x.shape[1] * x.shape[2]
-            var = jnp.var(x, axis=(0, 1, 2)) * (n / max(n - 1, 1))
+            var = jnp.var(x.astype(jnp.float32), axis=(0, 1, 2)) * (n / max(n - 1, 1))
             return (1.0 / (jnp.sqrt(var) + 1e-6)).reshape(1, 1, 1, self.num_features)
 
         loc = self.param("loc", lambda rng: loc_init(rng))
         scale = self.param("scale", lambda rng: scale_init(rng))
-        return scale * (x + loc)
+        # fp32 affine, emitted at the activation dtype: under the bf16
+        # compute overlay the fp32 params must not promote the whole
+        # conv->conv chain back to fp32
+        return (scale * (x + loc)).astype(x.dtype)
 
 
 class NLayerDiscriminator(nn.Module):

@@ -15,7 +15,7 @@ defaults to 1.0 after disc_start exactly like the reference (`:283-284`).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -52,10 +52,16 @@ class GeneralLPIPSWithDiscriminator(nn.Module):
     distmat_margin: float = 0.25
     distmat_weight: float = 1.0
     cos_weight: float = 1.0
+    # compute dtype for the LPIPS VGG trunk and the PatchGAN conv stacks
+    # (params/optimizer state stay fp32).  The reference trains pure fp32;
+    # the bf16_compute overlay sets this so the loss path's convs — which
+    # run up to 5x (LPIPS) / 4x (disc) per ae step, utils/flops.py — hit
+    # full MXU rate alongside the bf16 engine.
+    dtype: Any = jnp.float32
 
     def setup(self):
         assert self.disc_loss in ("hinge", "vanilla")
-        self.perceptual_loss = LPIPS()
+        self.perceptual_loss = LPIPS(dtype=self.dtype)
         self.logvar = self.param(
             "logvar", nn.initializers.constant(self.logvar_init), ()
         )
@@ -70,6 +76,10 @@ class GeneralLPIPSWithDiscriminator(nn.Module):
                 },
             },
         )
+        if (disc_cfg["target"].endswith("NLayerDiscriminator")
+                and "dtype" not in disc_cfg.get("params", {})):
+            disc_cfg = {**disc_cfg,
+                        "params": {**disc_cfg.get("params", {}), "dtype": self.dtype}}
         self.discriminator = instantiate_from_config(disc_cfg)
         self._disc_loss_fn = hinge_d_loss if self.disc_loss == "hinge" else vanilla_d_loss
         self._reg_weights = dict(self.regularization_weights or {})

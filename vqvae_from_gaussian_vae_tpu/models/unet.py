@@ -54,10 +54,16 @@ def group_norm_from_stats(x, stats, scale, bias, num_groups: int = 32,
     return y.astype(x.dtype)
 
 
-def _resample_fuses(flag: bool, train: bool, h: int, dtype) -> bool:
+def _resample_fuses(flag: bool, train: bool, h: int, dtype,
+                    train_ok: bool = False) -> bool:
     """True when Up/Downsample will take the Pallas fused path (must mirror
     the use_fused conditions in those modules); lets the level defer the
     last resblock's residual add into the kernel.
+
+    train_ok marks ops whose fused kernel has a custom VJP (the upsample,
+    ops/upsample_conv.py) so the bf16 training path can use it too; the
+    backward is the phase-algebra adjoint at 16/36 of the naive dgrad/wgrad
+    FLOPs.  GVQ_FUSED_TRAIN=0 opts training back onto the plain XLA path.
 
     GVQ_DISABLE_FUSED_KERNELS=1 forces the plain XLA path everywhere — the
     escape hatch for multi-chip GSPMD meshes, where un-annotated custom
@@ -66,9 +72,10 @@ def _resample_fuses(flag: bool, train: bool, h: int, dtype) -> bool:
     """
     import os
 
+    if train and not (train_ok and os.environ.get("GVQ_FUSED_TRAIN", "1") != "0"):
+        return False
     return (
         bool(flag)
-        and not train
         and os.environ.get("GVQ_DISABLE_FUSED_KERNELS", "") != "1"
         and jax.default_backend() == "tpu"
         and h % 4 == 0
@@ -127,7 +134,8 @@ class Upsample(nn.Module):
         # bf16 only: the Pallas fp32 matmul uses fewer bf16 passes than
         # XLA's excess-precision fp32 convs (measured ~3e-2 divergence);
         # fp32 inference keeps exact plain-XLA parity
-        use_fused = _resample_fuses(self.fused, train, h, self.dtype)
+        use_fused = _resample_fuses(self.fused, train, h, self.dtype,
+                                    train_ok=True)
         if not use_fused or self.is_initializing():
             # init always takes this path so the conv/{kernel,bias} params
             # exist identically for both; the fused path reuses them below
@@ -136,14 +144,21 @@ class Upsample(nn.Module):
             y = conv(y)
             return (y, None) if with_stats else y
 
+        # custom-VJP wrappers: identical Pallas forward; training backward
+        # is the phase-algebra adjoint (ops/upsample_conv.py)
         from vqvae_from_gaussian_vae_tpu.ops.upsample_conv import (
-            upsample_nearest_conv3x3_gn,
+            upsample_nearest_conv3x3_gn_add_vjp,
+            upsample_nearest_conv3x3_gn_vjp,
         )
 
         cp = self.variables["params"]["conv"]
-        y, stats = upsample_nearest_conv3x3_gn(
-            x.astype(self.dtype), cp["kernel"].astype(self.dtype), cp["bias"],
-            add=None if add is None else add.astype(self.dtype))
+        if add is None:
+            y, stats = upsample_nearest_conv3x3_gn_vjp(
+                x.astype(self.dtype), cp["kernel"].astype(self.dtype), cp["bias"])
+        else:
+            y, stats = upsample_nearest_conv3x3_gn_add_vjp(
+                x.astype(self.dtype), add.astype(self.dtype),
+                cp["kernel"].astype(self.dtype), cp["bias"])
         return (y, stats) if with_stats else y
 
 
@@ -175,21 +190,29 @@ class Downsample(nn.Module):
             return (y, None) if with_stats else y
         conv = nn.Conv(self.in_channels, (3, 3), strides=(2, 2), padding="VALID",
                        dtype=self.dtype, name="conv")
-        use_fused = _resample_fuses(self.fused, train, x.shape[1], self.dtype)
+        use_fused = _resample_fuses(self.fused, train, x.shape[1], self.dtype,
+                                    train_ok=True)
         if not use_fused or self.is_initializing():
             assert add is None  # levels defer the add only on the fused path
             y = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
             y = conv(y)
             return (y, None) if with_stats else y
 
+        # custom-VJP wrappers: identical Pallas forward; training backward
+        # is the phase-algebra adjoint (ops/downsample_conv.py)
         from vqvae_from_gaussian_vae_tpu.ops.downsample_conv import (
-            downsample_conv3x3_gn,
+            downsample_conv3x3_gn_add_vjp,
+            downsample_conv3x3_gn_vjp,
         )
 
         cp = self.variables["params"]["conv"]
-        y, stats = downsample_conv3x3_gn(
-            x.astype(self.dtype), cp["kernel"].astype(self.dtype), cp["bias"],
-            add=None if add is None else add.astype(self.dtype))
+        if add is None:
+            y, stats = downsample_conv3x3_gn_vjp(
+                x.astype(self.dtype), cp["kernel"].astype(self.dtype), cp["bias"])
+        else:
+            y, stats = downsample_conv3x3_gn_add_vjp(
+                x.astype(self.dtype), add.astype(self.dtype),
+                cp["kernel"].astype(self.dtype), cp["bias"])
         return (y, stats) if with_stats else y
 
 
@@ -220,7 +243,7 @@ class ResnetBlock(nn.Module):
             and x.shape[1] % 8 == 0
         )
         use_in_stats = (
-            in_stats is not None and not train
+            in_stats is not None
             and not use_fused and not self.is_initializing()
         )
         if use_fused:
@@ -378,7 +401,8 @@ class _DownLevel(nn.Module):
             self.has_downsample
             and not self.use_attn
             and not self.is_initializing()
-            and _resample_fuses(self.fused_downsample, train, x.shape[1], self.dtype)
+            and _resample_fuses(self.fused_downsample, train, x.shape[1],
+                                self.dtype, train_ok=True)
         )
         add = None
         for i, blk in enumerate(self.block):
@@ -519,7 +543,8 @@ class _UpLevel(nn.Module):
             self.has_upsample
             and not self.use_attn
             and not self.is_initializing()
-            and _resample_fuses(self.fused_upsample, train, x.shape[1], self.dtype)
+            and _resample_fuses(self.fused_upsample, train, x.shape[1],
+                                self.dtype, train_ok=True)
         )
         add = None
         for i, blk in enumerate(self.block):

@@ -174,3 +174,114 @@ def _downsample_conv(xt, at, w, bias, block_h: int, interpret: bool, with_stats:
         interpret=interpret,
     )(*operands)
     return res
+
+# --------------------------------------------------------------------------
+# training path: custom VJP with phase-algebra backward
+# --------------------------------------------------------------------------
+
+def _shifted(y, dr, dc):
+    """out[i, j] = y[i+dr, j+dc], zero padded (dr, dc in {-1, 0})."""
+    b, h, w, c = y.shape
+    yp = jnp.pad(y, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    return jax.lax.dynamic_slice(yp, (0, 1 + dr, 1 + dc, 0), (b, h, w, c))
+
+
+def _downsample_bwd_math(xin, w, y, gy, gstats):
+    """Adjoint of the asym-pad stride-2 3x3 conv, phase-decomposed.
+
+    dx parity-phase (pm, pn): taps r ≡ pm (mod 2), s ≡ pn contribute
+    S((pm-r)/2, (pn-s)/2) @ w[r,s]^T where S shifts ybar — 9 dense aligned
+    matmuls (FLOP-exact, like the forward kernel's 9 phase matmuls), then a
+    parity interleave.  wgrad is 9 matmuls against the strided input views.
+    """
+    f32 = jnp.float32
+    b, h, wd, c = xin.shape
+    ho, wo = h // 2, wd // 2
+    o = w.shape[-1]
+    yf = y.astype(f32)
+    g = gy.astype(f32)
+    if gstats is not None:
+        gs = gstats.astype(f32)
+        g = g + gs[:, 0][:, None, None, :] + 2.0 * yf * gs[:, 1][:, None, None, :]
+    wf = w.astype(f32)
+
+    # ---- dx: 4 parity phases, interleaved back to (H, W)
+    phases = {}
+    for pm in (0, 1):
+        for pn in (0, 1):
+            acc = jnp.zeros((b, ho, wo, c), f32)
+            for r in range(pm, 3, 2):
+                for s in range(pn, 3, 2):
+                    acc = acc + jnp.einsum(
+                        "bijo,co->bijc",
+                        _shifted(g, (pm - r) // 2, (pn - s) // 2),
+                        wf[r, s])
+            phases[(pm, pn)] = acc
+    row0 = jnp.stack([phases[(0, 0)], phases[(0, 1)]], axis=3)
+    row1 = jnp.stack([phases[(1, 0)], phases[(1, 1)]], axis=3)
+    dx = jnp.stack([row0, row1], axis=2).reshape(b, h, wd, c)
+
+    # ---- dw: strided input views x[2i+r, 2j+s]
+    xf = xin.astype(f32)
+    xq = xf.reshape(b, ho, 2, wo, 2, c)
+
+    def view(r, s):
+        vr = xq[:, :, r % 2, :, s % 2, :]
+        if r == 2:
+            vr = jnp.pad(vr, ((0, 0), (0, 1), (0, 0), (0, 0)))[:, 1:]
+        if s == 2:
+            vr = jnp.pad(vr, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:]
+        return vr
+
+    dw = jnp.stack([
+        jnp.stack([jnp.einsum("bijc,bijo->co", view(r, s), g) for s in range(3)])
+        for r in range(3)
+    ])
+    dbias = jnp.sum(g, axis=(0, 1, 2))
+    return dx, dw, dbias
+
+
+@jax.custom_vjp
+def downsample_conv3x3_gn_vjp(x, w, bias):
+    """Differentiable fused downsample (no residual add): Pallas phase
+    kernel forward, phase-algebra adjoint backward."""
+    return downsample_conv3x3_gn(x, w, bias)
+
+
+def _down_vjp_fwd(x, w, bias):
+    y, stats = downsample_conv3x3_gn(x, w, bias)
+    return (y, stats), (x, w, y)
+
+
+def _down_vjp_bwd(res, cot):
+    x, w, y = res
+    gy, gstats = cot
+    dx, dw, dbias = _downsample_bwd_math(x, w, y, gy, gstats)
+    return (dx.astype(x.dtype), dw.astype(w.dtype), dbias.astype(jnp.float32))
+
+
+downsample_conv3x3_gn_vjp.defvjp(_down_vjp_fwd, _down_vjp_bwd)
+
+
+@jax.custom_vjp
+def downsample_conv3x3_gn_add_vjp(x, add, w, bias):
+    """Differentiable fused downsample with the deferred residual add."""
+    return downsample_conv3x3_gn(x, w, bias, add=add)
+
+
+def _down_add_vjp_fwd(x, add, w, bias):
+    y, stats = downsample_conv3x3_gn(x, w, bias, add=add)
+    return (y, stats), (x, add, w, y)
+
+
+def _down_add_vjp_bwd(res, cot):
+    x, add, w, y = res
+    gy, gstats = cot
+    dx, dw, dbias = _downsample_bwd_math(
+        (x.astype(jnp.float32) + add.astype(jnp.float32)).astype(x.dtype),
+        w, y, gy, gstats)
+    return (dx.astype(x.dtype), dx.astype(add.dtype),
+            dw.astype(w.dtype), dbias.astype(jnp.float32))
+
+
+downsample_conv3x3_gn_add_vjp.defvjp(_down_add_vjp_fwd, _down_add_vjp_bwd)

@@ -24,7 +24,13 @@ the Pallas grid machinery double-buffers every fetch.  Per band and phase
 accumulation; phase kernels k22[di,dj,a,b] are tap-group sums of the 3x3
 kernel computed once outside.
 
-Inference-path only (no custom VJP); training uses the XLA path.
+Training support: `upsample_nearest_conv3x3_gn_vjp` wraps the kernel in a
+custom VJP whose backward exploits the same phase algebra in reverse — the
+adjoint of nearest-x2 + 3x3 conv is a 4x4 stride-2 conv, which phase-
+decomposes into 16 aligned low-resolution matmuls (16/36 of the naive
+dgrad/wgrad FLOPs, and the 4x-size gradient intermediate never exists).
+The GN-stats output is differentiated too (stats feed the consumer's
+group_norm_from_stats): ybar_total = g_y + g_sum + 2*y*g_sumsq.
 """
 
 from __future__ import annotations
@@ -249,3 +255,115 @@ def _upsample_conv_hwbc(xt, at, w, bias, block_h: int, interpret: bool,
     return res
 
 
+
+# --------------------------------------------------------------------------
+# training path: custom VJP with phase-algebra backward
+# --------------------------------------------------------------------------
+
+def _phase_grads(g):
+    """(B, 2H, 2W, O) f32 -> dict[(di, dj)] of (B, H, W, O) phase slices
+    g_p(di,dj)[i,j] = g[2i+di, 2j+dj]."""
+    b, h2, w2, o = g.shape
+    g4 = g.reshape(b, h2 // 2, 2, w2 // 2, 2, o)
+    return {(di, dj): g4[:, :, di, :, dj, :] for di in (0, 1) for dj in (0, 1)}
+
+
+def _shift2d(x, dr, dc):
+    """out[i, j] = x[i+dr, j+dc], zero padded (dr, dc in {-1, 0, 1})."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jax.lax.dynamic_slice(xp, (0, 1 + dr, 1 + dc, 0), (b, h, w, c))
+
+
+# row/col tap groups contributing to each shift delta = d + t - 1
+_DELTA_TERMS = {-1: ((0, 0),), 0: ((0, 1), (1, 0)), 1: ((1, 1),)}
+
+
+def _upsample_bwd_math(xin, w, y, gy, gstats):
+    """Phase-algebra adjoint.  xin = the kernel's summed input (x [+ add]);
+    returns (dxin, dw, dbias) in fp32.
+
+    dxin[m,n] = sum_{dr,dc in {-1,0,1}} M[dr,dc][m-dr, n-dc] with
+    M[dr,dc] = sum_{(di,a) in R(dr), (dj,bb) in C(dc)} g_p(di,dj) @ k22[di,dj,a,bb]^T
+    — 16 aligned matmuls (the phase decomposition of the adjoint's 4x4
+    stride-2 conv), then a 3x3 stencil gather of the 9 M tensors.
+    """
+    f32 = jnp.float32
+    b, h, wd, c = xin.shape
+    o = w.shape[-1]
+    yf = y.astype(f32)
+    g = gy.astype(f32)
+    if gstats is not None:
+        gs = gstats.astype(f32)  # (B, 2, O)
+        g = g + gs[:, 0][:, None, None, :] + 2.0 * yf * gs[:, 1][:, None, None, :]
+    gp = _phase_grads(g)
+    k22, k22_vjp = jax.vjp(phase_kernels, w.astype(f32))
+
+    xf = xin.astype(f32)
+    dx = jnp.zeros((b, h, wd, c), f32)
+    dk22 = jnp.zeros_like(k22)
+    for dr, row_terms in _DELTA_TERMS.items():
+        for dc, col_terms in _DELTA_TERMS.items():
+            m = jnp.zeros((b, h, wd, o), f32)
+            xs = _shift2d(xf, dr, dc)  # xin shifted: xs[i,j] = xin[i+dr, j+dc]
+            for (di, a) in row_terms:
+                for (dj, bb) in col_terms:
+                    gphase = gp[(di, dj)]
+                    m = m + jnp.einsum("bijo,co->bijc", gphase,
+                                       k22[di, dj, a, bb]).astype(f32)
+                    dk22 = dk22.at[di, dj, a, bb].add(
+                        jnp.einsum("bijc,bijo->co", xs, gphase))
+            # dx[m_,n] += M[m_-dr, n-dc]  <=>  dx += shift(M, -dr, -dc)
+            dx = dx + _shift2d(m, -dr, -dc)
+    (dw,) = k22_vjp(dk22)
+    dbias = jnp.sum(g, axis=(0, 1, 2))
+    return dx, dw, dbias
+
+
+@jax.custom_vjp
+def upsample_nearest_conv3x3_gn_vjp(x, w, bias):
+    """Differentiable fused upsample (no residual add): the forward is the
+    Pallas phase kernel with GN-stats epilogue; the backward is the
+    phase-algebra adjoint in plain XLA (`_upsample_bwd_math`)."""
+    return upsample_nearest_conv3x3_gn(x, w, bias)
+
+
+def _up_vjp_fwd(x, w, bias):
+    y, stats = upsample_nearest_conv3x3_gn(x, w, bias)
+    return (y, stats), (x, w, y)
+
+
+def _up_vjp_bwd(res, cot):
+    x, w, y = res
+    gy, gstats = cot
+    dx, dw, dbias = _upsample_bwd_math(x, w, y, gy, gstats)
+    return (dx.astype(x.dtype), dw.astype(w.dtype), dbias.astype(jnp.float32))
+
+
+upsample_nearest_conv3x3_gn_vjp.defvjp(_up_vjp_fwd, _up_vjp_bwd)
+
+
+@jax.custom_vjp
+def upsample_nearest_conv3x3_gn_add_vjp(x, add, w, bias):
+    """Differentiable fused upsample with the deferred residual add: the
+    kernel sums x + add in VMEM; the adjoint of the sum sends the same
+    input-cotangent to both operands."""
+    return upsample_nearest_conv3x3_gn(x, w, bias, add=add)
+
+
+def _up_add_vjp_fwd(x, add, w, bias):
+    y, stats = upsample_nearest_conv3x3_gn(x, w, bias, add=add)
+    return (y, stats), (x, add, w, y)
+
+
+def _up_add_vjp_bwd(res, cot):
+    x, add, w, y = res
+    gy, gstats = cot
+    dx, dw, dbias = _upsample_bwd_math(
+        (x.astype(jnp.float32) + add.astype(jnp.float32)).astype(x.dtype),
+        w, y, gy, gstats)
+    return (dx.astype(x.dtype), dx.astype(add.dtype),
+            dw.astype(w.dtype), dbias.astype(jnp.float32))
+
+
+upsample_nearest_conv3x3_gn_add_vjp.defvjp(_up_add_vjp_fwd, _up_add_vjp_bwd)
