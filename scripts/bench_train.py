@@ -78,6 +78,68 @@ def main():
     ae_ms = run(ae_fn, "ae")
     disc_ms = run(builder.disc_step, "disc")
 
+    if os.environ.get("BENCH_BREAKDOWN"):
+        # sub-phase timings to localise the non-roofline overhead
+        import jax as _jax
+
+        def time_chain(fn, *args):
+            out = np.asarray(fn(*args))
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                acc = jnp.float32(0.0)
+                for i in range(iters):
+                    acc = acc + fn(*args)
+                _ = np.asarray(acc)
+                best = min(best, time.perf_counter() - t0)
+            return best / iters * 1e3
+
+        logvar = state.loss_params["logvar"]
+
+        @_jax.jit
+        def fwd_loss(state, x):
+            rng = _jax.random.fold_in(state.rng, 3)
+            v, _ = builder._ae_loss(
+                (state.engine_params, state.loss_params["logvar"]),
+                state, x, rng, False)
+            return v
+
+        @_jax.jit
+        def grad_no_adapt(state, x):
+            rng = _jax.random.fold_in(state.rng, 3)
+            g, _ = _jax.grad(builder._ae_loss, has_aux=True)(
+                (state.engine_params, state.loss_params["logvar"]),
+                state, x, rng, False)
+            return g[0]["encoder"]["conv_in"]["bias"][0]
+
+        @_jax.jit
+        def grad_adapt(state, x):
+            rng = _jax.random.fold_in(state.rng, 3)
+            g, _ = _jax.grad(builder._ae_loss, has_aux=True)(
+                (state.engine_params, state.loss_params["logvar"]),
+                state, x, rng, True)
+            return g[0]["encoder"]["conv_in"]["bias"][0]
+
+        zero_grads = _jax.tree.map(jnp.zeros_like, (state.engine_params, logvar))
+
+        @_jax.jit
+        def opt_only(state, grads):
+            updates, _ = builder.ae_opt.update(
+                grads, state.ae_opt_state,
+                (state.engine_params, state.loss_params["logvar"]))
+            import optax as _optax
+            new_engine, _lv = _optax.apply_updates(
+                (state.engine_params, state.loss_params["logvar"]), updates)
+            return new_engine["encoder"]["conv_in"]["bias"][0]
+
+        x_dev = batch_dev["img"]
+        print(json.dumps({
+            "ae_fwd_loss_ms": round(time_chain(fwd_loss, state, x_dev), 2),
+            "ae_grad_no_adapt_ms": round(time_chain(grad_no_adapt, state, x_dev), 2),
+            "ae_grad_adapt_ms": round(time_chain(grad_adapt, state, x_dev), 2),
+            "ae_opt_only_ms": round(time_chain(opt_only, state, zero_grads), 2),
+        }), flush=True)
+
     if profile_dir:
         with jax.profiler.trace(profile_dir):
             for _ in range(3):

@@ -190,8 +190,13 @@ class Downsample(nn.Module):
             return (y, None) if with_stats else y
         conv = nn.Conv(self.in_channels, (3, 3), strides=(2, 2), padding="VALID",
                        dtype=self.dtype, name="conv")
-        use_fused = _resample_fuses(self.fused, train, x.shape[1], self.dtype,
-                                    train_ok=True)
+        # train_ok=False: measured on v5e (scripts/bench_resample_train.py,
+        # bs=8 bf16) the encoder's fused fwd+bwd is 29.1 vs 28.2 ms plain —
+        # XLA's strided-conv backward is already dense enough here, so
+        # training keeps the plain path; inference still fuses (1.02x + the
+        # GN-stats epilogue).  The decoder upsample DOES win in train
+        # (59.9 vs 63.3 ms) and keeps train_ok=True.
+        use_fused = _resample_fuses(self.fused, train, x.shape[1], self.dtype)
         if not use_fused or self.is_initializing():
             assert add is None  # levels defer the add only on the fused path
             y = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -402,7 +407,7 @@ class _DownLevel(nn.Module):
             and not self.use_attn
             and not self.is_initializing()
             and _resample_fuses(self.fused_downsample, train, x.shape[1],
-                                self.dtype, train_ok=True)
+                                self.dtype)
         )
         add = None
         for i, blk in enumerate(self.block):

@@ -186,8 +186,60 @@ def _shifted(y, dr, dc):
     return jax.lax.dynamic_slice(yp, (0, 1 + dr, 1 + dc, 0), (b, h, w, c))
 
 
+def _downsample_bwd_conv(xin, w, y, gy, gstats):
+    """Adjoint via two dense XLA convs (the fast path; the 9-matmul form in
+    `_downsample_bwd_math` reads the cotangent 9x and loses to XLA).
+
+    dgrad: the stride-2 adjoint phase-decomposes into a dense 2x2 conv of
+    the cotangent with a parities-as-channels kernel K2[t_r, t_s, o,
+    (pm,pn,c)] = w[pm+2-2t_r, pn+2-2t_s, c, o] (zero where out of range),
+    followed by a depth-to-space interleave — no zero-stuffed hi-res conv.
+    wgrad: XLA's native strided-conv weight gradient via linear_transpose
+    of the forward conv (no forward recompute — conv is linear in w).
+    """
+    f32 = jnp.float32
+    b, h, wd, c = xin.shape
+    o = w.shape[-1]
+    yf = y.astype(f32)
+    g = gy.astype(f32)
+    if gstats is not None:
+        gs = gstats.astype(f32)
+        g = g + gs[:, 0][:, None, None, :] + 2.0 * yf * gs[:, 1][:, None, None, :]
+    wf = w.astype(f32)
+
+    # ---- dx: 2x2 conv over g with parities-as-channels kernel
+    k2 = jnp.zeros((2, 2, o, 2, 2, c), f32)
+    for tr in (0, 1):
+        for ts in (0, 1):
+            for pm in (0, 1):
+                for pn in (0, 1):
+                    r, s = pm + 2 - 2 * tr, pn + 2 - 2 * ts
+                    if r <= 2 and s <= 2:
+                        k2 = k2.at[tr, ts, :, pm, pn, :].set(wf[r, s].T)
+    dx4 = jax.lax.conv_general_dilated(
+        g, k2.reshape(2, 2, o, 4 * c), (1, 1), [(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dx = dx4.reshape(b, h // 2, wd // 2, 2, 2, c) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(b, h, wd, c)
+
+    # ---- dw: native strided wgrad via linear transpose
+    xf = xin.astype(f32)
+    xp = jnp.pad(xf, ((0, 0), (0, 1), (0, 1), (0, 0)))
+
+    def fwd_of_w(wv):
+        return jax.lax.conv_general_dilated(
+            xp, wv, (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    (dw,) = jax.linear_transpose(
+        fwd_of_w, jax.ShapeDtypeStruct(w.shape, f32))(g)
+    dbias = jnp.sum(g, axis=(0, 1, 2))
+    return dx, dw, dbias
+
+
 def _downsample_bwd_math(xin, w, y, gy, gstats):
-    """Adjoint of the asym-pad stride-2 3x3 conv, phase-decomposed.
+    """Adjoint of the asym-pad stride-2 3x3 conv, phase-decomposed
+    (reference/fallback; `_downsample_bwd_conv` is the wired fast path).
 
     dx parity-phase (pm, pn): taps r ≡ pm (mod 2), s ≡ pn contribute
     S((pm-r)/2, (pn-s)/2) @ w[r,s]^T where S shifts ybar — 9 dense aligned
@@ -256,7 +308,7 @@ def _down_vjp_fwd(x, w, bias):
 def _down_vjp_bwd(res, cot):
     x, w, y = res
     gy, gstats = cot
-    dx, dw, dbias = _downsample_bwd_math(x, w, y, gy, gstats)
+    dx, dw, dbias = _downsample_bwd_conv(x, w, y, gy, gstats)
     return (dx.astype(x.dtype), dw.astype(w.dtype), dbias.astype(jnp.float32))
 
 
@@ -277,7 +329,7 @@ def _down_add_vjp_fwd(x, add, w, bias):
 def _down_add_vjp_bwd(res, cot):
     x, add, w, y = res
     gy, gstats = cot
-    dx, dw, dbias = _downsample_bwd_math(
+    dx, dw, dbias = _downsample_bwd_conv(
         (x.astype(jnp.float32) + add.astype(jnp.float32)).astype(x.dtype),
         w, y, gy, gstats)
     return (dx.astype(x.dtype), dx.astype(add.dtype),

@@ -279,9 +279,85 @@ def _shift2d(x, dr, dc):
 _DELTA_TERMS = {-1: ((0, 0),), 0: ((0, 1), (1, 0)), 1: ((1, 1),)}
 
 
+def _total_cotangent(y, gy, gstats):
+    """Combine the output cotangent with the GN-stats cotangent:
+    stats = (sum y, sum y^2) per (B, O)  =>  ybar += g_sum + 2*y*g_sumsq."""
+    f32 = jnp.float32
+    g = gy.astype(f32)
+    if gstats is not None:
+        gs = gstats.astype(f32)  # (B, 2, O)
+        g = g + gs[:, 0][:, None, None, :] \
+            + 2.0 * y.astype(f32) * gs[:, 1][:, None, None, :]
+    return g
+
+
+def _w3f_from_k22(k22):
+    """(2,2,2,2,C,O) phase kernels -> the equivalent (3,3,C,4O) dense
+    kernel of the phases-as-channels conv: W3f[di+a, dj+bb, :, (di,dj,o)] =
+    k22[di,dj,a,bb] (zero where no tap).  conv3x3(x, W3f) computes all four
+    upsample phases at LOW resolution in one dense MXU-tiled op."""
+    c, o = k22.shape[-2:]
+    w3 = jnp.zeros((3, 3, c, 2, 2, o), k22.dtype)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for a in (0, 1):
+                for bb in (0, 1):
+                    w3 = w3.at[di + a, dj + bb, :, di, dj, :].set(
+                        k22[di, dj, a, bb])
+    return w3.reshape(3, 3, c, 4 * o)
+
+
+def _conv_same(t, w):
+    return jax.lax.conv_general_dilated(
+        t, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _upsample_bwd_conv(xin, w, y, gy, gstats):
+    """Adjoint via two dense low-resolution XLA convs (the fast path).
+
+    The fused op is y = depth_to_space(conv3x3(x, W3f)) + bias with W3f the
+    phases-as-channels kernel (`_w3f_from_k22`), so its adjoint is the
+    conv's adjoint on the phase-folded cotangent g4: dgrad and wgrad are
+    XLA's native dense conv transposes at LOW resolution — one op each,
+    g4 read once (the 16-matmul form in `_upsample_bwd_math` reads the
+    cotangent 16x and measured slower than XLA's hi-res backward).
+    jax.linear_transpose avoids re-running the forward.
+    """
+    f32 = jnp.float32
+    b, h, wd, c = xin.shape
+    o = w.shape[-1]
+    g = _total_cotangent(y, gy, gstats)
+    g4 = g.reshape(b, h, 2, wd, 2, o).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(b, h, wd, 4 * o)
+    k22, k22_vjp = jax.vjp(phase_kernels, w.astype(f32))
+    w3f = _w3f_from_k22(k22)
+
+    (dx,) = jax.linear_transpose(
+        lambda t: _conv_same(t, w3f),
+        jax.ShapeDtypeStruct(xin.shape, f32))(g4)
+    xf = xin.astype(f32)
+    (dw3,) = jax.linear_transpose(
+        lambda wv: _conv_same(xf, wv),
+        jax.ShapeDtypeStruct(w3f.shape, f32))(g4)
+    dw3 = dw3.reshape(3, 3, c, 2, 2, o)
+    dk22 = jnp.stack([
+        jnp.stack([
+            jnp.stack([
+                jnp.stack([dw3[di + a, dj + bb, :, di, dj, :]
+                           for bb in (0, 1)])
+                for a in (0, 1)])
+            for dj in (0, 1)])
+        for di in (0, 1)])
+    (dw,) = k22_vjp(dk22)
+    dbias = jnp.sum(g, axis=(0, 1, 2))
+    return dx, dw, dbias
+
+
 def _upsample_bwd_math(xin, w, y, gy, gstats):
-    """Phase-algebra adjoint.  xin = the kernel's summed input (x [+ add]);
-    returns (dxin, dw, dbias) in fp32.
+    """Phase-algebra adjoint, 16-aligned-matmul form (reference/fallback;
+    `_upsample_bwd_conv` is the wired fast path).  xin = the kernel's
+    summed input (x [+ add]); returns (dxin, dw, dbias) in fp32.
 
     dxin[m,n] = sum_{dr,dc in {-1,0,1}} M[dr,dc][m-dr, n-dc] with
     M[dr,dc] = sum_{(di,a) in R(dr), (dj,bb) in C(dc)} g_p(di,dj) @ k22[di,dj,a,bb]^T
@@ -324,7 +400,7 @@ def _upsample_bwd_math(xin, w, y, gy, gstats):
 def upsample_nearest_conv3x3_gn_vjp(x, w, bias):
     """Differentiable fused upsample (no residual add): the forward is the
     Pallas phase kernel with GN-stats epilogue; the backward is the
-    phase-algebra adjoint in plain XLA (`_upsample_bwd_math`)."""
+    phase-algebra adjoint in plain XLA (`_upsample_bwd_conv`)."""
     return upsample_nearest_conv3x3_gn(x, w, bias)
 
 
@@ -336,7 +412,7 @@ def _up_vjp_fwd(x, w, bias):
 def _up_vjp_bwd(res, cot):
     x, w, y = res
     gy, gstats = cot
-    dx, dw, dbias = _upsample_bwd_math(x, w, y, gy, gstats)
+    dx, dw, dbias = _upsample_bwd_conv(x, w, y, gy, gstats)
     return (dx.astype(x.dtype), dw.astype(w.dtype), dbias.astype(jnp.float32))
 
 
@@ -359,7 +435,7 @@ def _up_add_vjp_fwd(x, add, w, bias):
 def _up_add_vjp_bwd(res, cot):
     x, add, w, y = res
     gy, gstats = cot
-    dx, dw, dbias = _upsample_bwd_math(
+    dx, dw, dbias = _upsample_bwd_conv(
         (x.astype(jnp.float32) + add.astype(jnp.float32)).astype(x.dtype),
         w, y, gy, gstats)
     return (dx.astype(x.dtype), dx.astype(add.dtype),
