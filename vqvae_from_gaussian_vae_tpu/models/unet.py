@@ -65,10 +65,11 @@ def _resample_fuses(flag: bool, train: bool, h: int, dtype,
     backward is the phase-algebra adjoint at 16/36 of the naive dgrad/wgrad
     FLOPs.  GVQ_FUSED_TRAIN=0 opts training back onto the plain XLA path.
 
-    GVQ_DISABLE_FUSED_KERNELS=1 forces the plain XLA path everywhere — the
-    escape hatch for multi-chip GSPMD meshes, where un-annotated custom
-    calls can force operand replication (single-chip is the benched path;
-    multi-chip fused-kernel partitioning is future work, docs/kernels.md).
+    Multi-chip: the resample kernels carry custom_partitioning annotations
+    (Shardy rule + partition callbacks, ops/*.py) that shard them over the
+    batch dim of a GSPMD mesh — verified on the 8-device CPU mesh
+    (tests/test_fused_partitioning.py).  GVQ_DISABLE_FUSED_KERNELS=1
+    remains as a manual escape hatch to force the plain XLA path.
     """
     import os
 

@@ -111,10 +111,11 @@ def downsample_conv3x3_gn(x, w, bias, add=None, block_h: int = 8, interpret=None
         interpret = jax.default_backend() != "tpu"
     xt = jnp.transpose(x, (1, 2, 0, 3))  # (H, W, B, C): bitcast in {3,0,2,1}
     at = None if add is None else jnp.transpose(add, (1, 2, 0, 3))
-    yt, stats = _downsample_conv(
-        xt, at, w, bias,
-        _pick_block_h(xt, w.shape[-1], block_h, add is not None),
-        interpret, True)
+    bh = _pick_block_h(xt, w.shape[-1], block_h, add is not None)
+    if at is None:
+        yt, stats = _DOWN_CP[False](xt, w, bias, bh, interpret)
+    else:
+        yt, stats = _DOWN_CP[True](xt, at, w, bias, bh, interpret)
     return jnp.transpose(yt, (2, 0, 1, 3)), jnp.sum(stats, axis=0)
 
 
@@ -337,3 +338,79 @@ def _down_add_vjp_bwd(res, cot):
 
 
 downsample_conv3x3_gn_add_vjp.defvjp(_down_add_vjp_fwd, _down_add_vjp_bwd)
+
+# --------------------------------------------------------------------------
+# GSPMD partitioning: shard the kernel over the batch dim of a mesh
+# (same scheme as ops/upsample_conv.py — batch-elementwise in the
+# (H, W, B, C) logical layout, spatial factors need replication)
+# --------------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import (
+    SdyShardingRule,
+    custom_partitioning,
+)
+
+
+def _batch_axis_of(arg_info, dim):
+    spec = getattr(getattr(arg_info, "sharding", None), "spec", None)
+    if spec is None or len(spec) <= dim:
+        return None
+    return spec[dim]
+
+
+def _make_down_cp(with_add: bool):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if with_add:
+        def impl(xt, at, w, bias, block_h, interpret):
+            return _downsample_conv(xt, at, w, bias, block_h, interpret, True)
+    else:
+        def impl(xt, w, bias, block_h, interpret):
+            return _downsample_conv(xt, None, w, bias, block_h, interpret, True)
+
+    nops = 4 if with_add else 3
+    cp = custom_partitioning(impl, static_argnums=(nops, nops + 1))
+
+    def infer(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        b_ax = _batch_axis_of(arg_infos[0], 2)
+        return (NamedSharding(mesh, P(None, None, b_ax, None)),
+                NamedSharding(mesh, P(None, b_ax, None, None)))
+
+    def partition(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        block_h, interpret = args[0], args[1]
+        b_ax = _batch_axis_of(arg_infos[0], 2)
+        x_sh = NamedSharding(mesh, P(None, None, b_ax, None))
+        rep = NamedSharding(mesh, P())
+        arg_shardings = ((x_sh, x_sh, rep, rep) if with_add
+                         else (x_sh, rep, rep))
+        out_shardings = (NamedSharding(mesh, P(None, None, b_ax, None)),
+                         NamedSharding(mesh, P(None, b_ax, None, None)))
+
+        def lower(*ops):
+            return impl(*ops, block_h, interpret)
+
+        return mesh, lower, out_shardings, arg_shardings
+
+    repl = ("h", "w", "c", "kh", "kw", "o", "h2", "w2", "nb", "s")
+    if with_add:
+        rule = SdyShardingRule(
+            (("h", "w", "b", "c"), ("h", "w", "b", "c"),
+             ("kh", "kw", "c", "o"), ("o",)),
+            (("h2", "w2", "b", "o"), ("nb", "b", "s", "o")),
+            need_replication_factors=repl)
+    else:
+        rule = SdyShardingRule(
+            (("h", "w", "b", "c"), ("kh", "kw", "c", "o"), ("o",)),
+            (("h2", "w2", "b", "o"), ("nb", "b", "s", "o")),
+            need_replication_factors=repl)
+    cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+    )
+    return cp
+
+
+_DOWN_CP = {False: _make_down_cp(False), True: _make_down_cp(True)}

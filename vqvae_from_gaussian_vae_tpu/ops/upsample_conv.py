@@ -187,10 +187,11 @@ def upsample_nearest_conv3x3_gn(x, w, bias, add=None, block_h: int = 16,
         interpret = jax.default_backend() != "tpu"
     xt = jnp.transpose(x, (1, 2, 0, 3))  # (H, W, B, C): a bitcast in {3,0,2,1}
     at = None if add is None else jnp.transpose(add, (1, 2, 0, 3))
-    yt, stats = _upsample_conv_hwbc(
-        xt, at, w, bias,
-        _pick_block_h_hwbc(xt, w.shape[-1], block_h, add is not None),
-        interpret, True)
+    bh = _pick_block_h_hwbc(xt, w.shape[-1], block_h, add is not None)
+    if at is None:
+        yt, stats = _UP_CP[False](xt, w, bias, bh, interpret)
+    else:
+        yt, stats = _UP_CP[True](xt, at, w, bias, bh, interpret)
     return jnp.transpose(yt, (2, 0, 1, 3)), jnp.sum(stats, axis=0)
 
 
@@ -443,3 +444,89 @@ def _up_add_vjp_bwd(res, cot):
 
 
 upsample_nearest_conv3x3_gn_add_vjp.defvjp(_up_add_vjp_fwd, _up_add_vjp_bwd)
+
+# --------------------------------------------------------------------------
+# GSPMD partitioning: shard the kernel over the batch dim of a mesh
+# --------------------------------------------------------------------------
+#
+# A bare pallas custom call is opaque to the partitioner, which replicates
+# it — every chip computes the FULL batch (the reason for the
+# GVQ_DISABLE_FUSED_KERNELS escape hatch).  The op is batch-elementwise in
+# its (H, W, B, C) logical layout, so custom_partitioning declares dim 2
+# (batch) shardable: each shard runs the unmodified kernel on its local
+# batch, weights/bias replicated, spatial dims forced replicated (halos).
+
+from jax.experimental.custom_partitioning import (
+    SdyShardingRule,
+    custom_partitioning,
+)
+
+
+def _batch_axis_of(arg_info, dim):
+    spec = getattr(getattr(arg_info, "sharding", None), "spec", None)
+    if spec is None or len(spec) <= dim:
+        return None
+    return spec[dim]
+
+
+def _make_up_cp(with_add: bool):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    nops = 4 if with_add else 3  # x [, add], w, bias
+    statics = tuple(range(nops, nops + 2))  # block_h, interpret
+
+    if with_add:
+        def impl(xt, at, w, bias, block_h, interpret):
+            return _upsample_conv_hwbc(xt, at, w, bias, block_h, interpret, True)
+    else:
+        def impl(xt, w, bias, block_h, interpret):
+            return _upsample_conv_hwbc(xt, None, w, bias, block_h, interpret, True)
+
+    cp = custom_partitioning(impl, static_argnums=statics)
+
+    def infer(*args):
+        mesh, arg_infos, result_infos = args[-3], args[-2], args[-1]
+        b_ax = _batch_axis_of(arg_infos[0], 2)
+        return (NamedSharding(mesh, P(None, None, b_ax, None)),
+                NamedSharding(mesh, P(None, b_ax, None, None)))
+
+    def partition(*args):
+        mesh, arg_infos, result_infos = args[-3], args[-2], args[-1]
+        block_h, interpret = args[0], args[1]
+        b_ax = _batch_axis_of(arg_infos[0], 2)
+        x_sh = NamedSharding(mesh, P(None, None, b_ax, None))
+        rep = NamedSharding(mesh, P())
+        arg_shardings = ((x_sh, x_sh, rep, rep) if with_add
+                         else (x_sh, rep, rep))
+        out_shardings = (NamedSharding(mesh, P(None, None, b_ax, None)),
+                         NamedSharding(mesh, P(None, b_ax, None, None)))
+
+        def lower(*ops):
+            return impl(*ops, block_h, interpret)
+
+        return mesh, lower, out_shardings, arg_shardings
+
+    # Shardy rule: batch factor b shared between x [,add], y and stats;
+    # everything else unique (the partition callback forces those
+    # replicated — spatial shards would need halo exchanges)
+    repl = ("h", "w", "c", "kh", "kw", "o", "h2", "w2", "nb", "s")
+    if with_add:
+        rule = SdyShardingRule(
+            (("h", "w", "b", "c"), ("h", "w", "b", "c"),
+             ("kh", "kw", "c", "o"), ("o",)),
+            (("h2", "w2", "b", "o"), ("nb", "b", "s", "o")),
+            need_replication_factors=repl)
+    else:
+        rule = SdyShardingRule(
+            (("h", "w", "b", "c"), ("kh", "kw", "c", "o"), ("o",)),
+            (("h2", "w2", "b", "o"), ("nb", "b", "s", "o")),
+            need_replication_factors=repl)
+    cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+    )
+    return cp
+
+
+_UP_CP = {False: _make_up_cp(False), True: _make_up_cp(True)}
