@@ -148,3 +148,32 @@ def test_loss_head_both_phases():
         global_step=11, train=True,
     )
     assert float(l1b) > 0.0
+
+
+def test_loss_dtype_knob_keeps_params_fp32():
+    """bf16 compute in the loss head (the bf16_compute overlay) must not
+    change parameter dtypes, and the custom disc config inherits the knob
+    when it doesn't set its own."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vqvae_from_gaussian_vae_tpu import instantiate_from_config
+
+    cfg = {
+        "target": "vqvae_from_gaussian_vae_tpu.losses.discriminator_loss.GeneralLPIPSWithDiscriminator",
+        "params": {
+            "disc_start": 0,
+            "dtype": "bfloat16",
+            "discriminator_config": {
+                "target": "vqvae_from_gaussian_vae_tpu.losses.discriminator.NLayerDiscriminator",
+                "params": {"input_nc": 3, "ndf": 8, "n_layers": 2, "use_actnorm": True},
+            },
+        },
+    }
+    m = instantiate_from_config(cfg)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, x * 0.9, method="init_all")
+    assert {str(l.dtype) for l in jax.tree.leaves(v["params"])} == {"float32"}
+    loss, _ = m.apply(v, x, x * 0.9, regularization_log={}, optimizer_idx=0,
+                      global_step=5, train=True, d_weight=jnp.float32(0.5))
+    assert np.isfinite(float(loss))
