@@ -60,8 +60,13 @@ def main():
                                 unregularized=True, method="encode")
             return jnp.sum(h.astype(jnp.float32) ** 2)
 
-        dec_g = jax.jit(lambda p, z: jax.grad(dec_loss)(p, z)["decoder"]["conv_in"]["bias"][0])
-        enc_g = jax.jit(lambda p, x: jax.grad(enc_loss)(p, x)["encoder"]["conv_in"]["bias"][0])
+        # reduce over EVERY grad leaf: returning a single element lets XLA
+        # dead-code-eliminate the other weight gradients entirely
+        def _gsum(g):
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(g))
+
+        dec_g = jax.jit(lambda p, z: _gsum(jax.grad(dec_loss)(p, z)))
+        enc_g = jax.jit(lambda p, x: _gsum(jax.grad(enc_loss)(p, x)))
         dec_f = jax.jit(lambda p, z: dec_loss(p, z))
         enc_f = jax.jit(lambda p, x: enc_loss(p, x))
 

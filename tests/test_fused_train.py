@@ -150,3 +150,36 @@ def test_fused_downsample_grads_match_xla(with_add):
             np.asarray(a), np.asarray(b_), atol=3e-4, rtol=3e-4,
             err_msg=f"grad mismatch for {name}",
         )
+
+
+def test_pallas_bwd_matches_conv_bwd_multiband():
+    """Direct parity between the Pallas dgrad/wgrad kernels and the
+    conv-form adjoint on shapes with multiple row bands (exercises the
+    band halos and the wgrad's cross-band accumulation)."""
+    from vqvae_from_gaussian_vae_tpu.ops import upsample_conv as U
+
+    b, h, w_, c, o = 2, 16, 16, 8, 8
+    x = _rand((b, h, w_, c), 20)
+    w = _rand((3, 3, c, o), 21) * 0.2
+    bias = _rand((o,), 22) * 0.1
+    y, stats = U.upsample_nearest_conv3x3_gn(x, w, bias, interpret=True)
+    gy = _rand((b, 2 * h, 2 * w_, o), 23)
+    gstats = _rand((b, 2, o), 24) * 0.01
+
+    dx_c, dw_c, db_c = U._upsample_bwd_conv(x, w, y, gy, gstats)
+    # small block to force several bands through the accumulating kernels
+    f32 = jnp.float32
+    g = U._total_cotangent(y, gy, gstats)
+    gt = jnp.transpose(g.astype(x.dtype), (1, 2, 0, 3))
+    xt = jnp.transpose(x, (1, 2, 0, 3))
+    k22, k22_vjp = jax.vjp(U.phase_kernels, w.astype(f32))
+    k22t = jnp.swapaxes(k22, -1, -2).astype(x.dtype)
+    dxt = U._upsample_dgrad(gt, k22t, c, 4, True)
+    dx_p = jnp.transpose(dxt, (2, 0, 1, 3))
+    dk22 = U._upsample_wgrad(xt, gt, 4, True)
+    (dw_p,) = k22_vjp(dk22)
+
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_c),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_c),
+                               atol=2e-3, rtol=2e-4)

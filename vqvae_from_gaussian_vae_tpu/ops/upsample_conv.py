@@ -410,10 +410,18 @@ def _up_vjp_fwd(x, w, bias):
     return (y, stats), (x, w, y)
 
 
+def _bwd_impl(xin, w, y, gy, gstats):
+    import os
+
+    if os.environ.get("GVQ_UPSAMPLE_BWD", "pallas") == "conv":
+        return _upsample_bwd_conv(xin, w, y, gy, gstats)
+    return _upsample_bwd_pallas(xin, w, y, gy, gstats)
+
+
 def _up_vjp_bwd(res, cot):
     x, w, y = res
     gy, gstats = cot
-    dx, dw, dbias = _upsample_bwd_conv(x, w, y, gy, gstats)
+    dx, dw, dbias = _bwd_impl(x, w, y, gy, gstats)
     return (dx.astype(x.dtype), dw.astype(w.dtype), dbias.astype(jnp.float32))
 
 
@@ -436,7 +444,7 @@ def _up_add_vjp_fwd(x, add, w, bias):
 def _up_add_vjp_bwd(res, cot):
     x, add, w, y = res
     gy, gstats = cot
-    dx, dw, dbias = _upsample_bwd_conv(
+    dx, dw, dbias = _bwd_impl(
         (x.astype(jnp.float32) + add.astype(jnp.float32)).astype(x.dtype),
         w, y, gy, gstats)
     return (dx.astype(x.dtype), dx.astype(add.dtype),
@@ -530,3 +538,244 @@ def _make_up_cp(with_add: bool):
 
 
 _UP_CP = {False: _make_up_cp(False), True: _make_up_cp(True)}
+
+# --------------------------------------------------------------------------
+# Pallas backward kernels (dgrad / wgrad)
+# --------------------------------------------------------------------------
+#
+# The conv-form adjoint (`_upsample_bwd_conv`) lowers to XLA convs that
+# measured ~32% MXU on the decoder shapes (per-op trace: 9.5-9.8 ms each
+# for the 64/128-level dgrad+wgrad at bs=8 — ~43 ms of the ae step).  These
+# kernels compute the same phase algebra in VMEM: 16 dense (rows, O)x(O, C)
+# MXU matmuls per band for dgrad, 16 (C, rows)x(rows, O) for wgrad — the
+# minimal 16/36 FLOP count with the cotangent read once.
+
+def _dgrad_kernel_hwbc(n_bands: int, block_h: int,
+                       k22t_ref, top_ref, ctr_ref, bot_ref, out_ref):
+    """dx band kernel.  Block rows of g: top(2)+ctr(2bh)+bot(2) covering
+    g rows 2*(k*bh-1) .. 2*((k+1)*bh+1)-1; phases split by reshape; per
+    (di,a,dj,bb) the shifted phase tile matmuls k22^T with f32 accum."""
+    k = pl.program_id(0)
+    bh = block_h
+    w2 = ctr_ref.shape[1]          # 2W
+    bsz = ctr_ref.shape[2]
+    o = ctr_ref.shape[3]
+    c = out_ref.shape[3]
+    wo = w2 // 2
+
+    gb = jnp.concatenate([top_ref[:], ctr_ref[:], bot_ref[:]], axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * bh + 4, 1, 1, 1), 0)
+    valid = ~((rows < 2) & (k == 0))
+    valid &= ~((rows >= 2 * bh + 2) & (k == n_bands - 1))
+    gb = jnp.where(valid, gb, jnp.zeros_like(gb))
+    # (p, di, n, dj, B, O): row p <-> dx row k*bh - 1 + p
+    gq = gb.reshape(bh + 2, 2, wo, 2, bsz, o)
+
+    acc = jnp.zeros((bh * wo * bsz, c), jnp.float32)
+    for di in (0, 1):
+        for dj in (0, 1):
+            pp = jnp.pad(gq[:, di, :, dj], ((0, 0), (1, 1), (0, 0), (0, 0)))
+            for a in (0, 1):
+                dr = di + a - 1
+                for bb in (0, 1):
+                    dc = dj + bb - 1
+                    tile = pp[1 - dr:1 - dr + bh, 1 - dc:1 - dc + wo]
+                    acc = acc + jnp.dot(
+                        tile.reshape(bh * wo * bsz, o),
+                        k22t_ref[di, dj, a, bb],
+                        preferred_element_type=jnp.float32,
+                    )
+    out_ref[:] = acc.reshape(bh, wo, bsz, c).astype(out_ref.dtype)
+
+
+def _pick_block_h_dgrad(h, w2, bsz, o, c, itemsize, block_h=8):
+    def vmem(bh):
+        return (
+            2 * (2 * bh + 4) * w2 * bsz * o * itemsize   # g blocks (dbl)
+            + 4 * (bh + 2) * (w2 // 2 + 2) * bsz * o * itemsize  # padded phases
+            + bh * (w2 // 2) * bsz * c * 4               # acc
+            + 2 * bh * (w2 // 2) * bsz * c * itemsize    # out (dbl)
+            + 16 * c * o * itemsize                      # k22t
+        )
+    while block_h > 1 and (vmem(block_h) > 56 * 2**20 or h % block_h):
+        block_h //= 2
+    while h % block_h:
+        block_h //= 2
+    return block_h
+
+
+@functools.partial(jax.jit, static_argnames=("out_c", "block_h", "interpret"))
+def _upsample_dgrad(gt, k22t, out_c: int, block_h: int, interpret: bool):
+    """gt (2H, 2W, B, O) hwbc cotangent -> dx (H, W, B, C)."""
+    h2, w2, bsz, o = gt.shape
+    h = h2 // 2
+    c = out_c
+    assert h % block_h == 0
+    n_bands = h // block_h
+    dtype = gt.dtype
+
+    def top_map(k):
+        return (jnp.maximum(k * block_h - 1, 0), 0, 0, 0)
+
+    def ctr_map(k):
+        return (k, 0, 0, 0)
+
+    def bot_map(k):
+        return (jnp.minimum((k + 1) * block_h, h - 1), 0, 0, 0)
+
+    # block units: top/bot blocks are 2 rows -> index in 2-row units equals
+    # the dx-row offset; ctr is 2*block_h rows -> index k
+    res = pl.pallas_call(
+        functools.partial(_dgrad_kernel_hwbc, n_bands, block_h),
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # k22t
+            pl.BlockSpec((2, w2, bsz, o), top_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * block_h, w2, bsz, o), ctr_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, w2, bsz, o), bot_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_h, w2 // 2, bsz, c), ctr_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w2 // 2, bsz, c), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * (w2 // 2) * 16 * c * o,
+            bytes_accessed=bsz * h2 * w2 * o * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(k22t, gt, gt, gt)
+    return res
+
+
+def _wgrad_kernel_hwbc(n_bands: int, block_h: int,
+                       top_ref, ctr_ref, bot_ref, gctr_ref, out_ref):
+    """dk22 reduction kernel: per band, 16 (C, rows)x(rows, O) matmuls of
+    the fwd kernel's x tiles against the cotangent phases, accumulated
+    into the (16, C, O) f32 output across sequential grid steps."""
+    k = pl.program_id(0)
+    bh = block_h
+    wo = ctr_ref.shape[1]
+    bsz = ctr_ref.shape[2]
+    c = ctr_ref.shape[3]
+    o = gctr_ref.shape[3]
+
+    xb = jnp.concatenate([top_ref[:], ctr_ref[:], bot_ref[:]], axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, 1, 1, 1), 0)
+    valid = ~((rows == 0) & (k == 0))
+    valid &= ~((rows == bh + 1) & (k == n_bands - 1))
+    xb = jnp.where(valid, xb, jnp.zeros_like(xb))
+    xp = jnp.pad(xb, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    gq = gctr_ref[:].reshape(bh, 2, wo, 2, bsz, o)
+
+    parts = []
+    for di in (0, 1):
+        for dj in (0, 1):
+            gp = gq[:, di, :, dj].reshape(bh * wo * bsz, o)
+            for a in (0, 1):
+                for bb in (0, 1):
+                    tile = xp[di + a:di + a + bh, dj + bb:dj + bb + wo]
+                    parts.append(jax.lax.dot_general(
+                        tile.reshape(bh * wo * bsz, c), gp,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ))
+    upd = jnp.stack(parts, axis=0)  # (16, C, O) in (di, dj, a, bb) order
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = upd
+
+    @pl.when(k > 0)
+    def _acc():
+        out_ref[:] = out_ref[:] + upd
+
+
+@functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
+def _upsample_wgrad(xt, gt, block_h: int, interpret: bool):
+    """xt (H, W, B, C), gt (2H, 2W, B, O) -> dk22 (2, 2, 2, 2, C, O) f32."""
+    h, wo, bsz, c = xt.shape
+    o = gt.shape[3]
+    assert h % block_h == 0
+    n_bands = h // block_h
+
+    def top_map(k):
+        return (jnp.maximum(k * block_h - 1, 0), 0, 0, 0)
+
+    def ctr_map(k):
+        return (k, 0, 0, 0)
+
+    def bot_map(k):
+        return (jnp.minimum((k + 1) * block_h, h - 1), 0, 0, 0)
+
+    res = pl.pallas_call(
+        functools.partial(_wgrad_kernel_hwbc, n_bands, block_h),
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec((1, wo, bsz, c), top_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_h, wo, bsz, c), ctr_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wo, bsz, c), bot_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * block_h, 2 * wo, bsz, o), ctr_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, c, o), lambda k: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, c, o), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wo * 16 * c * o,
+            bytes_accessed=bsz * h * wo * (c + 4 * o) * jnp.dtype(xt.dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xt, xt, xt, gt)
+    return res.reshape(2, 2, 2, 2, c, o)
+
+
+def _pick_block_h_wgrad(h, wo, bsz, c, o, itemsize, block_h=8):
+    def vmem(bh):
+        return (
+            2 * bh * wo * bsz * c * itemsize            # x ctr (dbl)
+            + 2 * 2 * bh * 2 * wo * bsz * o * itemsize  # g ctr (dbl)
+            + (bh + 2) * (wo + 2) * bsz * c * itemsize  # padded band
+            + 16 * c * o * 4 * 2                        # out + update
+        )
+    while block_h > 1 and (vmem(block_h) > 56 * 2**20 or h % block_h):
+        block_h //= 2
+    while h % block_h:
+        block_h //= 2
+    return block_h
+
+
+def _upsample_bwd_pallas(xin, w, y, gy, gstats, interpret=None):
+    """Backward via the Pallas dgrad/wgrad kernels (the TPU training path;
+    `_upsample_bwd_conv` remains as the XLA fallback, GVQ_UPSAMPLE_BWD=conv)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    b, h, wd, c = xin.shape
+    o = w.shape[-1]
+    g = _total_cotangent(y, gy, gstats)
+    dbias = jnp.sum(g, axis=(0, 1, 2))
+    gt = jnp.transpose(g.astype(xin.dtype), (1, 2, 0, 3))  # (2H, 2W, B, O)
+    xt = jnp.transpose(xin, (1, 2, 0, 3))
+
+    k22, k22_vjp = jax.vjp(phase_kernels, w.astype(f32))
+    k22t = jnp.swapaxes(k22, -1, -2).astype(xin.dtype)  # (2,2,2,2,O,C)
+
+    itemsize = jnp.dtype(xin.dtype).itemsize
+    bh_d = _pick_block_h_dgrad(h, 2 * wd, b, o, c, itemsize)
+    dxt = _upsample_dgrad(gt, k22t, c, bh_d, interpret)
+    dx = jnp.transpose(dxt, (2, 0, 1, 3)).astype(f32)
+
+    bh_w = _pick_block_h_wgrad(h, wd, b, c, o, itemsize)
+    dk22 = _upsample_wgrad(xt, gt, bh_w, interpret)
+    (dw,) = k22_vjp(dk22)
+    return dx, dw, dbias
