@@ -772,10 +772,98 @@ def _upsample_bwd_pallas(xin, w, y, gy, gstats, interpret=None):
 
     itemsize = jnp.dtype(xin.dtype).itemsize
     bh_d = _pick_block_h_dgrad(h, 2 * wd, b, o, c, itemsize)
-    dxt = _upsample_dgrad(gt, k22t, c, bh_d, interpret)
+    dxt = _DGRAD_CP(gt, k22t, c, bh_d, interpret)
     dx = jnp.transpose(dxt, (2, 0, 1, 3)).astype(f32)
 
     bh_w = _pick_block_h_wgrad(h, wd, b, c, o, itemsize)
-    dk22 = _upsample_wgrad(xt, gt, bh_w, interpret)
+    dk22 = _WGRAD_CP(xt, gt, bh_w, interpret)
     (dw,) = k22_vjp(dk22)
     return dx, dw, dbias
+
+# --------------------------------------------------------------------------
+# GSPMD partitioning of the backward kernels
+# --------------------------------------------------------------------------
+#
+# dgrad is batch-elementwise like the forward; wgrad REDUCES over batch, so
+# its per-shard partials need a psum over the mesh axis that shards the
+# batch (declared via Shardy reduction_factors and emitted in the partition
+# lowering).
+
+def _make_dgrad_cp():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(gt, k22t, out_c, block_h, interpret):
+        return _upsample_dgrad(gt, k22t, out_c, block_h, interpret)
+
+    cp = custom_partitioning(impl, static_argnums=(2, 3, 4))
+
+    def infer(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        b_ax = _batch_axis_of(arg_infos[0], 2)
+        return NamedSharding(mesh, P(None, None, b_ax, None))
+
+    def partition(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        out_c, block_h, interpret = args[0], args[1], args[2]
+        b_ax = _batch_axis_of(arg_infos[0], 2)
+        g_sh = NamedSharding(mesh, P(None, None, b_ax, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(gt, k22t):
+            return impl(gt, k22t, out_c, block_h, interpret)
+
+        return mesh, lower, g_sh, (g_sh, rep)
+
+    # need_replication factors listed in factor-index order (first
+    # occurrence across operands/results) — the Shardy verifier requires
+    # sorted indices
+    rule = SdyShardingRule(
+        (("h2", "w2", "b", "o"), ("p", "q", "r", "t", "o", "c")),
+        (("h", "w", "b", "c"),),
+        need_replication_factors=("h2", "w2", "o", "p", "q", "r", "t", "c",
+                                  "h", "w"))
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
+
+def _make_wgrad_cp():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(xt, gt, block_h, interpret):
+        return _upsample_wgrad(xt, gt, block_h, interpret)
+
+    cp = custom_partitioning(impl, static_argnums=(2, 3))
+
+    def infer(*args):
+        mesh = args[-3]
+        return NamedSharding(mesh, P())
+
+    def partition(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        block_h, interpret = args[0], args[1]
+        b_ax = _batch_axis_of(arg_infos[0], 2)
+        x_sh = NamedSharding(mesh, P(None, None, b_ax, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(xt, gt):
+            part = impl(xt, gt, block_h, interpret)
+            if b_ax is not None:
+                part = jax.lax.psum(part, b_ax)
+            return part
+
+        return mesh, lower, rep, (x_sh, x_sh)
+
+    rule = SdyShardingRule(
+        (("h", "w", "b", "c"), ("h2", "w2", "b", "o")),
+        (("p", "q", "r", "t", "c", "o"),),
+        reduction_factors=("b",),
+        need_replication_factors=("h", "w", "c", "h2", "w2", "o",
+                                  "p", "q", "r", "t"))
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
+
+_DGRAD_CP = _make_dgrad_cp()
+_WGRAD_CP = _make_wgrad_cp()
