@@ -183,3 +183,82 @@ def test_pallas_bwd_matches_conv_bwd_multiband():
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_c),
                                atol=2e-3, rtol=2e-4)
+
+
+def test_pallas_down_bwd_matches_conv_bwd_multiband():
+    from vqvae_from_gaussian_vae_tpu.ops import downsample_conv as D
+
+    b, h, w_, c, o = 2, 16, 16, 8, 8
+    x = _rand((b, h, w_, c), 30)
+    w = _rand((3, 3, c, o), 31) * 0.2
+    bias = _rand((o,), 32) * 0.1
+    y, stats = D.downsample_conv3x3_gn(x, w, bias, interpret=True)
+    gy = _rand((b, h // 2, w_ // 2, o), 33)
+    gstats = _rand((b, 2, o), 34) * 0.01
+
+    dx_c, dw_c, db_c = D._downsample_bwd_conv(x, w, y, gy, gstats)
+
+    f32 = jnp.float32
+    g = gy.astype(f32) + gstats[:, 0][:, None, None, :].astype(f32) \
+        + 2.0 * y.astype(f32) * gstats[:, 1][:, None, None, :].astype(f32)
+    gt = jnp.transpose(g.astype(x.dtype), (1, 2, 0, 3))
+    xt = jnp.transpose(x, (1, 2, 0, 3))
+    wt = jnp.swapaxes(w, -1, -2)
+    dxt = D._downsample_dgrad(gt, wt, c, 2, True)   # several bands
+    dx_p = jnp.transpose(dxt, (2, 0, 1, 3))
+    dw_p = D._downsample_wgrad(xt, gt, 2, True)
+
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_c),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_c),
+                               atol=2e-3, rtol=2e-4)
+
+
+def test_conv3x3_wgrad_matches_xla():
+    from vqvae_from_gaussian_vae_tpu.ops.conv3x3_train import conv3x3_same_wg
+
+    b, h, w_, c, o = 2, 16, 16, 8, 8
+    x = _rand((b, h, w_, c), 40)
+    w = _rand((3, 3, c, o), 41) * 0.2
+    bias = _rand((o,), 42) * 0.1
+    ry = _rand((b, h, w_, o), 43)
+
+    def ref(x, w, bias):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        return jnp.sum(y * ry)
+
+    def fused(x, w, bias):
+        return jnp.sum(conv3x3_same_wg(x, w, bias) * ry)
+
+    np.testing.assert_allclose(float(fused(x, w, bias)), float(ref(x, w, bias)),
+                               rtol=1e-5)
+    g_f = jax.grad(fused, argnums=(0, 1, 2))(x, w, bias)
+    g_r = jax.grad(ref, argnums=(0, 1, 2))(x, w, bias)
+    for a, b_, name in zip(g_f, g_r, ["x", "w", "bias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=3e-4,
+                                   err_msg=f"grad mismatch for {name}")
+
+
+def test_conv3x3_wgrad_shards_over_batch():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from vqvae_from_gaussian_vae_tpu.ops.conv3x3_train import conv3x3_same_wg
+
+    mesh = Mesh(np.array(jax.devices()).reshape(len(jax.devices())), ("data",))
+    n = mesh.shape["data"]
+    x = _rand((n, 8, 8, 8), 50)
+    w = _rand((3, 3, 8, 8), 51) * 0.2
+    bias = _rand((8,), 52) * 0.1
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def loss(x, w, bias):
+        return jnp.sum(conv3x3_same_wg(x, w, bias) ** 2)
+
+    g_sharded = jax.grad(loss, argnums=(0, 1, 2))(xs, w, bias)
+    g_single = jax.grad(loss, argnums=(0, 1, 2))(x, w, bias)
+    for a, r in zip(g_sharded, g_single):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=3e-4, rtol=3e-4)

@@ -191,13 +191,8 @@ class Downsample(nn.Module):
             return (y, None) if with_stats else y
         conv = nn.Conv(self.in_channels, (3, 3), strides=(2, 2), padding="VALID",
                        dtype=self.dtype, name="conv")
-        # train_ok=False: measured on v5e (scripts/bench_resample_train.py,
-        # bs=8 bf16) the encoder's fused fwd+bwd is 29.1 vs 28.2 ms plain —
-        # XLA's strided-conv backward is already dense enough here, so
-        # training keeps the plain path; inference still fuses (1.02x + the
-        # GN-stats epilogue).  The decoder upsample DOES win in train
-        # (59.9 vs 63.3 ms) and keeps train_ok=True.
-        use_fused = _resample_fuses(self.fused, train, x.shape[1], self.dtype)
+        use_fused = _resample_fuses(self.fused, train, x.shape[1], self.dtype,
+                                    train_ok=True)
         if not use_fused or self.is_initializing():
             assert add is None  # levels defer the add only on the fused path
             y = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -279,6 +274,31 @@ class ResnetBlock(nn.Module):
                 h, n2["scale"], n2["bias"], c2["kernel"], c2["bias"], block_h=bh,
             )
         else:
+            # bf16 TPU training: route the 3x3 convs through the custom-VJP
+            # op whose weight gradient is the Pallas kernel
+            # (ops/conv3x3_train.py) — XLA's wgrads measured ~32% MXU on the
+            # big decoder activations.  Forward/dgrad stay XLA (the
+            # conv+GN-stats forward fusion is untouched).
+            use_wg = (
+                train and not self.is_initializing()
+                and jax.default_backend() == "tpu"
+                and jnp.dtype(self.dtype) == jnp.bfloat16
+                and __import__("os").environ.get("GVQ_CONV_WGRAD", "1") != "0"
+            )
+
+            def conv3(name, v):
+                if use_wg:
+                    from vqvae_from_gaussian_vae_tpu.ops.conv3x3_train import (
+                        conv3x3_same_wg,
+                    )
+
+                    p = self.variables["params"][name]
+                    return conv3x3_same_wg(
+                        v.astype(self.dtype), p["kernel"].astype(self.dtype),
+                        p["bias"].astype(self.dtype))
+                return nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)],
+                               dtype=self.dtype, name=name)(v)
+
             if use_in_stats:
                 # the producing resample kernel already reduced the GN
                 # statistics; normalize is elementwise -> fuses into conv1
@@ -287,12 +307,12 @@ class ResnetBlock(nn.Module):
             else:
                 h = Normalize("norm1", dtype=self.dtype)(x)
             h = nonlinearity(h)
-            h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv1")(h)
+            h = conv3("conv1", h)
             h = Normalize("norm2", dtype=self.dtype)(h)
             h = nonlinearity(h)
             if self.dropout > 0.0:
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)
-            h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv2")(h)
+            h = conv3("conv2", h)
         if self.in_channels != out_ch:
             if self.conv_shortcut:
                 x = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
@@ -408,7 +428,7 @@ class _DownLevel(nn.Module):
             and not self.use_attn
             and not self.is_initializing()
             and _resample_fuses(self.fused_downsample, train, x.shape[1],
-                                self.dtype)
+                                self.dtype, train_ok=True)
         )
         add = None
         for i, blk in enumerate(self.block):

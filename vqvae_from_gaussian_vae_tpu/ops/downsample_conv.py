@@ -306,10 +306,18 @@ def _down_vjp_fwd(x, w, bias):
     return (y, stats), (x, w, y)
 
 
+def _down_bwd_impl(xin, w, y, gy, gstats):
+    import os
+
+    if os.environ.get("GVQ_DOWNSAMPLE_BWD", "pallas") == "conv":
+        return _downsample_bwd_conv(xin, w, y, gy, gstats)
+    return _downsample_bwd_pallas(xin, w, y, gy, gstats)
+
+
 def _down_vjp_bwd(res, cot):
     x, w, y = res
     gy, gstats = cot
-    dx, dw, dbias = _downsample_bwd_conv(x, w, y, gy, gstats)
+    dx, dw, dbias = _down_bwd_impl(x, w, y, gy, gstats)
     return (dx.astype(x.dtype), dw.astype(w.dtype), dbias.astype(jnp.float32))
 
 
@@ -330,7 +338,7 @@ def _down_add_vjp_fwd(x, add, w, bias):
 def _down_add_vjp_bwd(res, cot):
     x, add, w, y = res
     gy, gstats = cot
-    dx, dw, dbias = _downsample_bwd_conv(
+    dx, dw, dbias = _down_bwd_impl(
         (x.astype(jnp.float32) + add.astype(jnp.float32)).astype(x.dtype),
         w, y, gy, gstats)
     return (dx.astype(x.dtype), dx.astype(add.dtype),
@@ -414,3 +422,284 @@ def _make_down_cp(with_add: bool):
 
 
 _DOWN_CP = {False: _make_down_cp(False), True: _make_down_cp(True)}
+
+# --------------------------------------------------------------------------
+# Pallas backward kernels (dgrad / wgrad) — same scheme as the upsample's
+# (ops/upsample_conv.py): the minimal phase matmuls in VMEM instead of
+# XLA's zero-stuffed/strided conv transposes.
+# --------------------------------------------------------------------------
+
+def _dgrad_kernel(n_bands: int, block_u: int, wt_ref, top_ref, ctr_ref, out_ref):
+    """dx band kernel.  g blocks: top(1)+ctr(bu) covering g rows
+    k*bu-1 .. (k+1)*bu-1; per parity phase (pm, pn) the taps r≡pm, s≡pn
+    contribute shifted-g @ w[r,s]^T; phases interleave to (2bu, 2Wg)."""
+    k = pl.program_id(0)
+    bu = block_u
+    wg = ctr_ref.shape[1]
+    bsz = ctr_ref.shape[2]
+    o = ctr_ref.shape[3]
+    c = out_ref.shape[3]
+
+    gb = jnp.concatenate([top_ref[:], ctr_ref[:]], axis=0)  # (bu+1, Wg, B, O)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bu + 1, 1, 1, 1), 0)
+    gb = jnp.where((rows == 0) & (k == 0), jnp.zeros_like(gb), gb)
+    gp = jnp.pad(gb, ((0, 0), (1, 0), (0, 0), (0, 0)))  # left col halo
+
+    phases = []
+    for pm in (0, 1):
+        for pn in (0, 1):
+            acc = jnp.zeros((bu * wg * bsz, c), jnp.float32)
+            for r in range(pm, 3, 2):
+                dr = (pm - r) // 2
+                for s in range(pn, 3, 2):
+                    dc = (pn - s) // 2
+                    tile = gp[1 + dr:1 + dr + bu, 1 + dc:1 + dc + wg]
+                    acc = acc + jnp.dot(
+                        tile.reshape(bu * wg * bsz, o),
+                        wt_ref[r, s],
+                        preferred_element_type=jnp.float32,
+                    )
+            phases.append(acc.reshape(bu, wg, bsz, c).astype(out_ref.dtype))
+    row0 = jnp.stack([phases[0], phases[1]], axis=2).reshape(bu, 2 * wg, bsz, c)
+    row1 = jnp.stack([phases[2], phases[3]], axis=2).reshape(bu, 2 * wg, bsz, c)
+    out_ref[:] = jnp.stack([row0, row1], axis=1).reshape(2 * bu, 2 * wg, bsz, c)
+
+
+@functools.partial(jax.jit, static_argnames=("out_c", "block_u", "interpret"))
+def _downsample_dgrad(gt, wt, out_c: int, block_u: int, interpret: bool):
+    """gt (H/2, W/2, B, O) hwbc cotangent -> dx (H, W, B, C)."""
+    hg, wg, bsz, o = gt.shape
+    c = out_c
+    assert hg % block_u == 0
+    n_bands = hg // block_u
+
+    def top_map(k):
+        return (jnp.maximum(k * block_u - 1, 0), 0, 0, 0)
+
+    def ctr_map(k):
+        return (k, 0, 0, 0)
+
+    res = pl.pallas_call(
+        functools.partial(_dgrad_kernel, n_bands, block_u),
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wt (3, 3, O, C)
+            pl.BlockSpec((1, wg, bsz, o), top_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_u, wg, bsz, o), ctr_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * block_u, 2 * wg, bsz, c), ctr_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * hg, 2 * wg, bsz, c), gt.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * hg * wg * 9 * c * o,
+            bytes_accessed=bsz * hg * wg * (o + 4 * c) * jnp.dtype(gt.dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wt, gt, gt)
+    return res
+
+
+def _wgrad_kernel(n_bands: int, block_u: int,
+                  ctr_ref, bot_ref, gctr_ref, out_ref):
+    """dw reduction: the forward kernel's strided x tiles against the
+    cotangent band, 9 (C, rows)x(rows, O) matmuls accumulated into the
+    (9, C, O) f32 output across sequential grid steps."""
+    k = pl.program_id(0)
+    bu = block_u
+    wdim = ctr_ref.shape[1]
+    bsz = ctr_ref.shape[2]
+    c = ctr_ref.shape[3]
+    o = gctr_ref.shape[3]
+    wo = wdim // 2
+
+    xb = jnp.concatenate([ctr_ref[:], bot_ref[:]], axis=0)  # (2bu+1, W, B, C)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * bu + 1, 1, 1, 1), 0)
+    xb = jnp.where((rows == 2 * bu) & (k == n_bands - 1),
+                   jnp.zeros_like(xb), xb)
+    xp = jnp.pad(xb, ((0, 1), (0, 2), (0, 0), (0, 0)))
+    xq = xp.reshape(bu + 1, 2, wo + 1, 2, bsz, c)
+
+    g = gctr_ref[:].reshape(bu * wo * bsz, o)
+    parts = []
+    for a in (0, 1, 2):
+        for b in (0, 1, 2):
+            tile = xq[a // 2:a // 2 + bu, a % 2, b // 2:b // 2 + wo, b % 2]
+            parts.append(jax.lax.dot_general(
+                tile.reshape(bu * wo * bsz, c), g,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+    upd = jnp.stack(parts, axis=0)  # (9, C, O)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = upd
+
+    @pl.when(k > 0)
+    def _acc():
+        out_ref[:] = out_ref[:] + upd
+
+
+@functools.partial(jax.jit, static_argnames=("block_u", "interpret"))
+def _downsample_wgrad(xt, gt, block_u: int, interpret: bool):
+    """xt (H, W, B, C), gt (H/2, W/2, B, O) -> dw (3, 3, C, O) f32."""
+    h, wdim, bsz, c = xt.shape
+    o = gt.shape[3]
+    hg = h // 2
+    assert hg % block_u == 0
+    n_bands = hg // block_u
+
+    def ctr_map(k):
+        return (k, 0, 0, 0)
+
+    def bot_map(k):
+        return (jnp.minimum((k + 1) * 2 * block_u, h - 1), 0, 0, 0)
+
+    res = pl.pallas_call(
+        functools.partial(_wgrad_kernel, n_bands, block_u),
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec((2 * block_u, wdim, bsz, c), ctr_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wdim, bsz, c), bot_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_u, wdim // 2, bsz, o), ctr_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9, c, o), lambda k: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, c, o), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * hg * (wdim // 2) * 9 * c * o,
+            bytes_accessed=bsz * h * wdim * c * jnp.dtype(xt.dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xt, xt, gt)
+    return res.reshape(3, 3, c, o)
+
+
+def _pick_block_u(hg, wg, bsz, c, o, itemsize, block_u=8):
+    def vmem(bu):
+        return (
+            2 * bu * wg * bsz * o * itemsize        # g ctr (dbl)
+            + 2 * 2 * bu * wg * bsz * c * itemsize  # dx out / x ctr (dbl)
+            + bu * wg * bsz * c * 4                 # acc
+            + (9 + 9) * c * o * 4                   # kernels + out
+        )
+    while block_u > 1 and (vmem(block_u) > 56 * 2**20 or hg % block_u):
+        block_u //= 2
+    while hg % block_u:
+        block_u //= 2
+    return block_u
+
+
+def _downsample_bwd_pallas(xin, w, y, gy, gstats, interpret=None):
+    """Backward via the Pallas dgrad/wgrad kernels (GVQ_DOWNSAMPLE_BWD=conv
+    selects the XLA conv-form adjoint instead)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    b, h, wd, c = xin.shape
+    o = w.shape[-1]
+    yf = y.astype(f32)
+    g = gy.astype(f32)
+    if gstats is not None:
+        gs = gstats.astype(f32)
+        g = g + gs[:, 0][:, None, None, :] + 2.0 * yf * gs[:, 1][:, None, None, :]
+    dbias = jnp.sum(g, axis=(0, 1, 2))
+    gt = jnp.transpose(g.astype(xin.dtype), (1, 2, 0, 3))  # (H/2, W/2, B, O)
+    xt = jnp.transpose(xin, (1, 2, 0, 3))
+    wt = jnp.swapaxes(w, -1, -2).astype(xin.dtype)  # (3, 3, O, C)
+
+    itemsize = jnp.dtype(xin.dtype).itemsize
+    bu = _pick_block_u(h // 2, wd // 2, b, c, o, itemsize)
+    dxt = _DOWN_DGRAD_CP(gt, wt, c, bu, interpret)
+    dx = jnp.transpose(dxt, (2, 0, 1, 3)).astype(f32)
+    dw = _DOWN_WGRAD_CP(xt, gt, bu, interpret).astype(f32)
+    return dx, dw, dbias
+
+# cp annotations for the backward kernels (same scheme as the upsample's:
+# dgrad batch-passthrough; wgrad reduces over batch -> psum in the lowering)
+
+def _make_down_dgrad_cp():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(gt, wt, out_c, block_u, interpret):
+        return _downsample_dgrad(gt, wt, out_c, block_u, interpret)
+
+    cp = custom_partitioning(impl, static_argnums=(2, 3, 4))
+
+    def infer(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        b_ax = _batch_axis_of(arg_infos[0], 2)
+        return NamedSharding(mesh, P(None, None, b_ax, None))
+
+    def partition(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        out_c, block_u, interpret = args[0], args[1], args[2]
+        b_ax = _batch_axis_of(arg_infos[0], 2)
+        g_sh = NamedSharding(mesh, P(None, None, b_ax, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(gt, wt):
+            return impl(gt, wt, out_c, block_u, interpret)
+
+        return mesh, lower, g_sh, (g_sh, rep)
+
+    rule = SdyShardingRule(
+        (("hg", "wg", "b", "o"), ("kh", "kw", "o", "c")),
+        (("h", "w", "b", "c"),),
+        need_replication_factors=("hg", "wg", "o", "kh", "kw", "c", "h", "w"))
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
+
+def _make_down_wgrad_cp():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(xt, gt, block_u, interpret):
+        return _downsample_wgrad(xt, gt, block_u, interpret)
+
+    cp = custom_partitioning(impl, static_argnums=(2, 3))
+
+    def infer(*args):
+        mesh = args[-3]
+        return NamedSharding(mesh, P())
+
+    def partition(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        block_u, interpret = args[0], args[1]
+        b_ax = _batch_axis_of(arg_infos[0], 2)
+        x_sh = NamedSharding(mesh, P(None, None, b_ax, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(xt, gt):
+            part = impl(xt, gt, block_u, interpret)
+            if b_ax is not None:
+                part = jax.lax.psum(part, b_ax)
+            return part
+
+        return mesh, lower, rep, (x_sh, x_sh)
+
+    rule = SdyShardingRule(
+        (("h", "w", "b", "c"), ("hg", "wg", "b", "o")),
+        (("kh", "kw", "c", "o"),),
+        reduction_factors=("b",),
+        need_replication_factors=("h", "w", "c", "hg", "wg", "o", "kh", "kw"))
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
+
+_DOWN_DGRAD_CP = _make_down_dgrad_cp()
+_DOWN_WGRAD_CP = _make_down_wgrad_cp()
