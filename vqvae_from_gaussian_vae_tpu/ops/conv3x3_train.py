@@ -186,20 +186,22 @@ def conv3x3_same_wg(x, w, bias):
 
 
 def _fwd(x, w, bias):
-    return _conv_same(x, w) + bias, (x, w)
+    # the hwbc transpose is a bitcast in the {3,0,2,1} conv-layout regime;
+    # saving xt avoids keeping a second-layout copy of x for the backward
+    return _conv_same(x, w) + bias, (jnp.transpose(x, (1, 2, 0, 3)), w)
 
 
 def _bwd(res, g):
-    x, w = res
+    xt, w = res
     f32 = jnp.float32
-    (dx,) = jax.linear_transpose(
-        lambda t: _conv_same(t, w), jax.ShapeDtypeStruct(x.shape, x.dtype))(g)
-    gt = jnp.transpose(g, (1, 2, 0, 3))
-    xt = jnp.transpose(x, (1, 2, 0, 3))
     h, wd, bsz, c = xt.shape
+    (dx,) = jax.linear_transpose(
+        lambda t: _conv_same(t, w),
+        jax.ShapeDtypeStruct((bsz, h, wd, c), xt.dtype))(g)
+    gt = jnp.transpose(g, (1, 2, 0, 3))
     interpret = jax.default_backend() != "tpu"
     bh = _pick_block_h(h, wd, bsz, c, gt.shape[3],
-                       jnp.dtype(x.dtype).itemsize)
+                       jnp.dtype(xt.dtype).itemsize)
     dw = _WGRAD_CP(xt, gt, bh, interpret)
     dbias = jnp.sum(g.astype(f32), axis=(0, 1, 2))
     return (dx, dw.astype(w.dtype), dbias.astype(f32))

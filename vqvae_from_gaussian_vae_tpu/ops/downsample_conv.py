@@ -303,22 +303,52 @@ def downsample_conv3x3_gn_vjp(x, w, bias):
 
 def _down_vjp_fwd(x, w, bias):
     y, stats = downsample_conv3x3_gn(x, w, bias)
-    return (y, stats), (x, w, y)
+    # hwbc residuals: bitcasts in the {3,0,2,1} regime, so no dual-layout
+    # copy of the activations is kept for the backward (see the upsample's
+    # _up_vjp_fwd note)
+    return (y, stats), (jnp.transpose(x, (1, 2, 0, 3)), w,
+                        jnp.transpose(y, (1, 2, 0, 3)))
 
 
-def _down_bwd_impl(xin, w, y, gy, gstats):
+def _down_bwd_impl_t(xt, w, yt, gy, gstats):
     import os
 
     if os.environ.get("GVQ_DOWNSAMPLE_BWD", "pallas") == "conv":
-        return _downsample_bwd_conv(xin, w, y, gy, gstats)
-    return _downsample_bwd_pallas(xin, w, y, gy, gstats)
+        return _downsample_bwd_conv(
+            jnp.transpose(xt, (2, 0, 1, 3)), w,
+            jnp.transpose(yt, (2, 0, 1, 3)), gy, gstats)
+    return _downsample_bwd_pallas_t(xt, w, yt, gy, gstats)
+
+
+def _downsample_bwd_pallas_t(xt, w, yt, gy, gstats, interpret=None):
+    """Pallas backward with hwbc-resident residuals (all elementwise math
+    in (H, W, B, C) order; kernel operands need no layout change)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    h, wd, b, c = xt.shape
+    o = w.shape[-1]
+    gyt = jnp.transpose(gy, (1, 2, 0, 3)).astype(f32)
+    if gstats is not None:
+        gs = gstats.astype(f32)
+        gyt = gyt + gs[:, 0][None, None, :, :]             + 2.0 * yt.astype(f32) * gs[:, 1][None, None, :, :]
+    dbias = jnp.sum(gyt, axis=(0, 1, 2))
+    gt = gyt.astype(xt.dtype)
+    wt = jnp.swapaxes(w, -1, -2).astype(xt.dtype)
+
+    itemsize = jnp.dtype(xt.dtype).itemsize
+    bu = _pick_block_u(h // 2, wd // 2, b, c, o, itemsize)
+    dxt = _DOWN_DGRAD_CP(gt, wt, c, bu, interpret)
+    dx = jnp.transpose(dxt, (2, 0, 1, 3)).astype(f32)
+    dw = _DOWN_WGRAD_CP(xt, gt, bu, interpret).astype(f32)
+    return dx, dw, dbias
 
 
 def _down_vjp_bwd(res, cot):
-    x, w, y = res
+    xt, w, yt = res
     gy, gstats = cot
-    dx, dw, dbias = _down_bwd_impl(x, w, y, gy, gstats)
-    return (dx.astype(x.dtype), dw.astype(w.dtype), dbias.astype(jnp.float32))
+    dx, dw, dbias = _down_bwd_impl_t(xt, w, yt, gy, gstats)
+    return (dx.astype(xt.dtype), dw.astype(w.dtype), dbias.astype(jnp.float32))
 
 
 downsample_conv3x3_gn_vjp.defvjp(_down_vjp_fwd, _down_vjp_bwd)
@@ -332,16 +362,17 @@ def downsample_conv3x3_gn_add_vjp(x, add, w, bias):
 
 def _down_add_vjp_fwd(x, add, w, bias):
     y, stats = downsample_conv3x3_gn(x, w, bias, add=add)
-    return (y, stats), (x, add, w, y)
+    return (y, stats), (jnp.transpose(x, (1, 2, 0, 3)),
+                        jnp.transpose(add, (1, 2, 0, 3)), w,
+                        jnp.transpose(y, (1, 2, 0, 3)))
 
 
 def _down_add_vjp_bwd(res, cot):
-    x, add, w, y = res
+    xt, addt, w, yt = res
     gy, gstats = cot
-    dx, dw, dbias = _down_bwd_impl(
-        (x.astype(jnp.float32) + add.astype(jnp.float32)).astype(x.dtype),
-        w, y, gy, gstats)
-    return (dx.astype(x.dtype), dx.astype(add.dtype),
+    xint = (xt.astype(jnp.float32) + addt.astype(jnp.float32)).astype(xt.dtype)
+    dx, dw, dbias = _down_bwd_impl_t(xint, w, yt, gy, gstats)
+    return (dx.astype(xt.dtype), dx.astype(addt.dtype),
             dw.astype(w.dtype), dbias.astype(jnp.float32))
 
 

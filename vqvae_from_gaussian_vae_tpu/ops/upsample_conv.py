@@ -407,22 +407,60 @@ def upsample_nearest_conv3x3_gn_vjp(x, w, bias):
 
 def _up_vjp_fwd(x, w, bias):
     y, stats = upsample_nearest_conv3x3_gn(x, w, bias)
-    return (y, stats), (x, w, y)
+    # residuals saved in the kernel-native (H, W, B, C) logical order: in
+    # the {3,0,2,1} layout regime these transposes are bitcasts of arrays
+    # the forward already produced, so no second-layout copy of the
+    # full-resolution y is materialised for the backward (a dual-layout
+    # fusion measured 10.7 ms at the 256^2 boundary, scripts/trace_top_ops.py)
+    return (y, stats), (jnp.transpose(x, (1, 2, 0, 3)), w,
+                        jnp.transpose(y, (1, 2, 0, 3)))
 
 
-def _bwd_impl(xin, w, y, gy, gstats):
+def _bwd_impl_t(xt, w, yt, gy, gstats):
     import os
 
     if os.environ.get("GVQ_UPSAMPLE_BWD", "pallas") == "conv":
-        return _upsample_bwd_conv(xin, w, y, gy, gstats)
-    return _upsample_bwd_pallas(xin, w, y, gy, gstats)
+        return _upsample_bwd_conv(
+            jnp.transpose(xt, (2, 0, 1, 3)), w,
+            jnp.transpose(yt, (2, 0, 1, 3)), gy, gstats)
+    return _upsample_bwd_pallas_t(xt, w, yt, gy, gstats)
+
+
+def _upsample_bwd_pallas_t(xt, w, yt, gy, gstats, interpret=None):
+    """Pallas backward with hwbc-resident residuals: all elementwise math
+    (stats-cotangent fold) runs in the (H, W, B, C) logical order, so the
+    kernels' operands need no layout change."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    h, wd, b, c = xt.shape
+    o = w.shape[-1]
+    gyt = jnp.transpose(gy, (1, 2, 0, 3)).astype(f32)
+    if gstats is not None:
+        gs = gstats.astype(f32)  # (B, 2, O)
+        gyt = gyt + gs[:, 0][None, None, :, :]             + 2.0 * yt.astype(f32) * gs[:, 1][None, None, :, :]
+    dbias = jnp.sum(gyt, axis=(0, 1, 2))
+    gt = gyt.astype(xt.dtype)
+
+    k22, k22_vjp = jax.vjp(phase_kernels, w.astype(f32))
+    k22t = jnp.swapaxes(k22, -1, -2).astype(xt.dtype)
+
+    itemsize = jnp.dtype(xt.dtype).itemsize
+    bh_d = _pick_block_h_dgrad(h, 2 * wd, b, o, c, itemsize)
+    dxt = _DGRAD_CP(gt, k22t, c, bh_d, interpret)
+    dx = jnp.transpose(dxt, (2, 0, 1, 3)).astype(f32)
+
+    bh_w = _pick_block_h_wgrad(h, wd, b, c, o, itemsize)
+    dk22 = _WGRAD_CP(xt, gt, bh_w, interpret)
+    (dw,) = k22_vjp(dk22)
+    return dx, dw, dbias
 
 
 def _up_vjp_bwd(res, cot):
-    x, w, y = res
+    xt, w, yt = res
     gy, gstats = cot
-    dx, dw, dbias = _bwd_impl(x, w, y, gy, gstats)
-    return (dx.astype(x.dtype), dw.astype(w.dtype), dbias.astype(jnp.float32))
+    dx, dw, dbias = _bwd_impl_t(xt, w, yt, gy, gstats)
+    return (dx.astype(xt.dtype), dw.astype(w.dtype), dbias.astype(jnp.float32))
 
 
 upsample_nearest_conv3x3_gn_vjp.defvjp(_up_vjp_fwd, _up_vjp_bwd)
@@ -438,16 +476,17 @@ def upsample_nearest_conv3x3_gn_add_vjp(x, add, w, bias):
 
 def _up_add_vjp_fwd(x, add, w, bias):
     y, stats = upsample_nearest_conv3x3_gn(x, w, bias, add=add)
-    return (y, stats), (x, add, w, y)
+    return (y, stats), (jnp.transpose(x, (1, 2, 0, 3)),
+                        jnp.transpose(add, (1, 2, 0, 3)), w,
+                        jnp.transpose(y, (1, 2, 0, 3)))
 
 
 def _up_add_vjp_bwd(res, cot):
-    x, add, w, y = res
+    xt, addt, w, yt = res
     gy, gstats = cot
-    dx, dw, dbias = _bwd_impl(
-        (x.astype(jnp.float32) + add.astype(jnp.float32)).astype(x.dtype),
-        w, y, gy, gstats)
-    return (dx.astype(x.dtype), dx.astype(add.dtype),
+    xint = (xt.astype(jnp.float32) + addt.astype(jnp.float32)).astype(xt.dtype)
+    dx, dw, dbias = _bwd_impl_t(xint, w, yt, gy, gstats)
+    return (dx.astype(xt.dtype), dx.astype(addt.dtype),
             dw.astype(w.dtype), dbias.astype(jnp.float32))
 
 
