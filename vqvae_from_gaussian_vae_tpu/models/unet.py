@@ -274,16 +274,20 @@ class ResnetBlock(nn.Module):
                 h, n2["scale"], n2["bias"], c2["kernel"], c2["bias"], block_h=bh,
             )
         else:
-            # bf16 TPU training: route the 3x3 convs through the custom-VJP
+            # GVQ_CONV_WGRAD=1 routes the 3x3 convs through the custom-VJP
             # op whose weight gradient is the Pallas kernel
-            # (ops/conv3x3_train.py) — XLA's wgrads measured ~32% MXU on the
-            # big decoder activations.  Forward/dgrad stay XLA (the
-            # conv+GN-stats forward fusion is untouched).
+            # (ops/conv3x3_train.py).  OFF by default: although XLA's
+            # wgrads run at ~32% MXU here, they fuse the GN-normalize+swish
+            # recompute into the wgrad conv, so the producer activation
+            # never hits HBM; the custom op must save it as a residual and
+            # measured a net LOSS (ae step 287.6 -> 325.9 ms at bs=16).
+            # Matching XLA needs the normalize+swish applied in-kernel from
+            # stats — future work.
             use_wg = (
                 train and not self.is_initializing()
                 and jax.default_backend() == "tpu"
                 and jnp.dtype(self.dtype) == jnp.bfloat16
-                and __import__("os").environ.get("GVQ_CONV_WGRAD", "1") != "0"
+                and __import__("os").environ.get("GVQ_CONV_WGRAD", "0") == "1"
             )
 
             def conv3(name, v):
