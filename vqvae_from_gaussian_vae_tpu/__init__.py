@@ -38,8 +38,16 @@ if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
 # minutes to compile cold (the eval metric graph ~15 min over the remote
 # tunnel); with the cache, re-runs of bench/eval/serve start warm.  Opt out
 # with GVQ_COMPILE_CACHE=off, redirect with GVQ_COMPILE_CACHE=<dir>.
+# CPU-only runs (tests, virtual-mesh dryruns) skip it: XLA:CPU caches AOT
+# machine code keyed on the compile host's CPU features, and replaying an
+# entry on a host with a different feature set risks SIGILL; CPU compiles
+# are cheap enough that the cache buys nothing there.
 _cache_dir = _os.environ.get("GVQ_COMPILE_CACHE", "")
-if _cache_dir.lower() != "off":
+_cpu_only = (
+    _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+    or getattr(_jax.config, "jax_platforms", None) == "cpu"
+)
+if _cache_dir.lower() != "off" and not _cpu_only:
     try:
         _jax.config.update(
             "jax_compilation_cache_dir",
