@@ -157,11 +157,9 @@ def main():
     out = {
         "ae_step_ms": round(ae_ms, 2),
         "disc_step_ms": round(disc_ms, 2),
-        "pair_img_per_s": round(batch / (pair_ms / 1e3) / 2.0 * 2.0, 2),
+        # pair throughput: one ae + one disc step consumes 2 batches
+        "pair_img_per_s": round(2 * batch / ((ae_ms + disc_ms) / 1e3), 2),
     }
-    # pair throughput: one ae + one disc step consumes 2 batches
-    pair_img_s = 2 * batch / ((ae_ms + disc_ms) / 1e3)
-    out["pair_img_per_s"] = round(pair_img_s, 2)
     for name, ms, flops in (("ae", ae_ms, fl["ae_step"]),
                             ("disc", disc_ms, fl["disc_step"]),
                             ("pair", pair_ms, fl["pair_avg"])):

@@ -41,12 +41,17 @@ if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
 # CPU-only runs (tests, virtual-mesh dryruns) skip it: XLA:CPU caches AOT
 # machine code keyed on the compile host's CPU features, and replaying an
 # entry on a host with a different feature set risks SIGILL; CPU compiles
-# are cheap enough that the cache buys nothing there.
+# are cheap enough that the cache buys nothing there.  The gate reads the
+# effective platforms config (the TPU plugin registers itself there, e.g.
+# "axon,cpu") rather than the env var alone, so a host where no
+# accelerator plugin loaded and JAX silently falls back to CPU also stays
+# out of the shared cache.
 _cache_dir = _os.environ.get("GVQ_COMPILE_CACHE", "")
-_cpu_only = (
-    _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
-    or getattr(_jax.config, "jax_platforms", None) == "cpu"
+_plat = (
+    _os.environ.get("JAX_PLATFORMS", "").strip()
+    or (getattr(_jax.config, "jax_platforms", None) or "")
 )
+_cpu_only = all(p.strip().lower() in ("", "cpu") for p in _plat.split(","))
 if _cache_dir.lower() != "off" and not _cpu_only:
     try:
         _jax.config.update(

@@ -171,8 +171,11 @@ class Downsample(nn.Module):
     conv runs at 15-34% MXU at the encoder shapes (per-op trace) while the
     kernel's 9 dense phase matmuls are FLOP-exact; it also emits the
     output's GN statistics so the consumer GroupNorm costs no extra
-    full-res pass.  Same param layout (conv/{kernel,bias}); training and
-    non-TPU backends use the plain XLA path (no VJP).
+    full-res pass.  Same param layout (conv/{kernel,bias}).  Training
+    uses the same fused op through its custom VJP (Pallas dgrad/wgrad,
+    ops/downsample_conv.py; GVQ_DOWNSAMPLE_BWD=conv falls back to the
+    conv-form adjoint, GVQ_FUSED_TRAIN=0 to plain XLA); non-TPU backends
+    always take the plain XLA path.
     """
 
     in_channels: int
@@ -283,11 +286,13 @@ class ResnetBlock(nn.Module):
             # measured a net LOSS (ae step 287.6 -> 325.9 ms at bs=16).
             # Matching XLA needs the normalize+swish applied in-kernel from
             # stats — future work.
+            _env = __import__("os").environ
             use_wg = (
                 train and not self.is_initializing()
                 and jax.default_backend() == "tpu"
                 and jnp.dtype(self.dtype) == jnp.bfloat16
-                and __import__("os").environ.get("GVQ_CONV_WGRAD", "0") == "1"
+                and _env.get("GVQ_CONV_WGRAD", "0") == "1"
+                and _env.get("GVQ_DISABLE_FUSED_KERNELS", "") != "1"
             )
 
             def conv3(name, v):

@@ -28,6 +28,7 @@ from jax.experimental.custom_partitioning import (
     SdyShardingRule,
     custom_partitioning,
 )
+from vqvae_from_gaussian_vae_tpu.ops.partition import batch_axis_of
 
 
 def _conv_same(x, w):
@@ -116,13 +117,6 @@ def _conv3x3_wgrad(xt, gt, block_h: int, interpret: bool):
     return res.reshape(3, 3, c, o)
 
 
-def _batch_axis_of(arg_info, dim):
-    spec = getattr(getattr(arg_info, "sharding", None), "spec", None)
-    if spec is None or len(spec) <= dim:
-        return None
-    return spec[dim]
-
-
 def _make_wgrad_cp():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -138,7 +132,7 @@ def _make_wgrad_cp():
     def partition(*args):
         mesh, arg_infos = args[-3], args[-2]
         block_h, interpret = args[0], args[1]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         x_sh = NamedSharding(mesh, P(None, None, b_ax, None))
         rep = NamedSharding(mesh, P())
 

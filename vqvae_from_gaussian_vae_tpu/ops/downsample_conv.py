@@ -388,13 +388,7 @@ from jax.experimental.custom_partitioning import (
     SdyShardingRule,
     custom_partitioning,
 )
-
-
-def _batch_axis_of(arg_info, dim):
-    spec = getattr(getattr(arg_info, "sharding", None), "spec", None)
-    if spec is None or len(spec) <= dim:
-        return None
-    return spec[dim]
+from vqvae_from_gaussian_vae_tpu.ops.partition import batch_axis_of
 
 
 def _make_down_cp(with_add: bool):
@@ -412,14 +406,14 @@ def _make_down_cp(with_add: bool):
 
     def infer(*args):
         mesh, arg_infos = args[-3], args[-2]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         return (NamedSharding(mesh, P(None, None, b_ax, None)),
                 NamedSharding(mesh, P(None, b_ax, None, None)))
 
     def partition(*args):
         mesh, arg_infos = args[-3], args[-2]
         block_h, interpret = args[0], args[1]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         x_sh = NamedSharding(mesh, P(None, None, b_ax, None))
         rep = NamedSharding(mesh, P())
         arg_shardings = ((x_sh, x_sh, rep, rep) if with_add
@@ -633,30 +627,6 @@ def _pick_block_u(hg, wg, bsz, c, o, itemsize, block_u=8):
     return block_u
 
 
-def _downsample_bwd_pallas(xin, w, y, gy, gstats, interpret=None):
-    """Backward via the Pallas dgrad/wgrad kernels (GVQ_DOWNSAMPLE_BWD=conv
-    selects the XLA conv-form adjoint instead)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    f32 = jnp.float32
-    b, h, wd, c = xin.shape
-    o = w.shape[-1]
-    yf = y.astype(f32)
-    g = gy.astype(f32)
-    if gstats is not None:
-        gs = gstats.astype(f32)
-        g = g + gs[:, 0][:, None, None, :] + 2.0 * yf * gs[:, 1][:, None, None, :]
-    dbias = jnp.sum(g, axis=(0, 1, 2))
-    gt = jnp.transpose(g.astype(xin.dtype), (1, 2, 0, 3))  # (H/2, W/2, B, O)
-    xt = jnp.transpose(xin, (1, 2, 0, 3))
-    wt = jnp.swapaxes(w, -1, -2).astype(xin.dtype)  # (3, 3, O, C)
-
-    itemsize = jnp.dtype(xin.dtype).itemsize
-    bu = _pick_block_u(h // 2, wd // 2, b, c, o, itemsize)
-    dxt = _DOWN_DGRAD_CP(gt, wt, c, bu, interpret)
-    dx = jnp.transpose(dxt, (2, 0, 1, 3)).astype(f32)
-    dw = _DOWN_WGRAD_CP(xt, gt, bu, interpret).astype(f32)
-    return dx, dw, dbias
 
 # cp annotations for the backward kernels (same scheme as the upsample's:
 # dgrad batch-passthrough; wgrad reduces over batch -> psum in the lowering)
@@ -671,13 +641,13 @@ def _make_down_dgrad_cp():
 
     def infer(*args):
         mesh, arg_infos = args[-3], args[-2]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         return NamedSharding(mesh, P(None, None, b_ax, None))
 
     def partition(*args):
         mesh, arg_infos = args[-3], args[-2]
         out_c, block_u, interpret = args[0], args[1], args[2]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         g_sh = NamedSharding(mesh, P(None, None, b_ax, None))
         rep = NamedSharding(mesh, P())
 
@@ -710,7 +680,7 @@ def _make_down_wgrad_cp():
     def partition(*args):
         mesh, arg_infos = args[-3], args[-2]
         block_u, interpret = args[0], args[1]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         x_sh = NamedSharding(mesh, P(None, None, b_ax, None))
         rep = NamedSharding(mesh, P())
 

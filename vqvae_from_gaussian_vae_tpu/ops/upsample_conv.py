@@ -507,13 +507,7 @@ from jax.experimental.custom_partitioning import (
     SdyShardingRule,
     custom_partitioning,
 )
-
-
-def _batch_axis_of(arg_info, dim):
-    spec = getattr(getattr(arg_info, "sharding", None), "spec", None)
-    if spec is None or len(spec) <= dim:
-        return None
-    return spec[dim]
+from vqvae_from_gaussian_vae_tpu.ops.partition import batch_axis_of
 
 
 def _make_up_cp(with_add: bool):
@@ -533,14 +527,14 @@ def _make_up_cp(with_add: bool):
 
     def infer(*args):
         mesh, arg_infos, result_infos = args[-3], args[-2], args[-1]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         return (NamedSharding(mesh, P(None, None, b_ax, None)),
                 NamedSharding(mesh, P(None, b_ax, None, None)))
 
     def partition(*args):
         mesh, arg_infos, result_infos = args[-3], args[-2], args[-1]
         block_h, interpret = args[0], args[1]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         x_sh = NamedSharding(mesh, P(None, None, b_ax, None))
         rep = NamedSharding(mesh, P())
         arg_shardings = ((x_sh, x_sh, rep, rep) if with_add
@@ -793,31 +787,6 @@ def _pick_block_h_wgrad(h, wo, bsz, c, o, itemsize, block_h=8):
     return block_h
 
 
-def _upsample_bwd_pallas(xin, w, y, gy, gstats, interpret=None):
-    """Backward via the Pallas dgrad/wgrad kernels (the TPU training path;
-    `_upsample_bwd_conv` remains as the XLA fallback, GVQ_UPSAMPLE_BWD=conv)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    f32 = jnp.float32
-    b, h, wd, c = xin.shape
-    o = w.shape[-1]
-    g = _total_cotangent(y, gy, gstats)
-    dbias = jnp.sum(g, axis=(0, 1, 2))
-    gt = jnp.transpose(g.astype(xin.dtype), (1, 2, 0, 3))  # (2H, 2W, B, O)
-    xt = jnp.transpose(xin, (1, 2, 0, 3))
-
-    k22, k22_vjp = jax.vjp(phase_kernels, w.astype(f32))
-    k22t = jnp.swapaxes(k22, -1, -2).astype(xin.dtype)  # (2,2,2,2,O,C)
-
-    itemsize = jnp.dtype(xin.dtype).itemsize
-    bh_d = _pick_block_h_dgrad(h, 2 * wd, b, o, c, itemsize)
-    dxt = _DGRAD_CP(gt, k22t, c, bh_d, interpret)
-    dx = jnp.transpose(dxt, (2, 0, 1, 3)).astype(f32)
-
-    bh_w = _pick_block_h_wgrad(h, wd, b, c, o, itemsize)
-    dk22 = _WGRAD_CP(xt, gt, bh_w, interpret)
-    (dw,) = k22_vjp(dk22)
-    return dx, dw, dbias
 
 # --------------------------------------------------------------------------
 # GSPMD partitioning of the backward kernels
@@ -838,13 +807,13 @@ def _make_dgrad_cp():
 
     def infer(*args):
         mesh, arg_infos = args[-3], args[-2]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         return NamedSharding(mesh, P(None, None, b_ax, None))
 
     def partition(*args):
         mesh, arg_infos = args[-3], args[-2]
         out_c, block_h, interpret = args[0], args[1], args[2]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         g_sh = NamedSharding(mesh, P(None, None, b_ax, None))
         rep = NamedSharding(mesh, P())
 
@@ -881,7 +850,7 @@ def _make_wgrad_cp():
     def partition(*args):
         mesh, arg_infos = args[-3], args[-2]
         block_h, interpret = args[0], args[1]
-        b_ax = _batch_axis_of(arg_infos[0], 2)
+        b_ax = batch_axis_of(arg_infos[0], 2)
         x_sh = NamedSharding(mesh, P(None, None, b_ax, None))
         rep = NamedSharding(mesh, P())
 
