@@ -141,3 +141,36 @@ def test_flops_estimator_sanity():
     assert F.gq_search_flops(1024, 16, 65536) == 2 * 1024 * 32 * 65536
     vit = F.vit_flops(dict(patch_size=8, image_size=256, width=768, layers=12, mlp_ratio=4))
     assert 1e11 < vit < 1e12, vit
+
+
+def test_engine_rejects_unsupported_ctor_surface():
+    """Accept-and-ignore audit: stored-but-unread ctor kwargs must raise.
+
+    The reference threads additional_decode_keys into decode(z, **extra)
+    (reference autoencoder.py:430,607); this engine's decode is positional
+    so a silent drop would change training behavior invisibly.
+    """
+    import pytest
+    from vqvae_from_gaussian_vae_tpu.models.autoencoder import AutoencodingEngine
+    from vqvae_from_gaussian_vae_tpu.models.postprocessor import AutoencodingPostEngine
+
+    enc = {"target": f"{PKG}.models.unet.Encoder",
+           "params": {"ch": 8, "ch_mult": [1], "num_res_blocks": 1,
+                      "attn_resolutions": [], "in_channels": 3,
+                      "out_ch": 3, "resolution": 16, "z_channels": 4,
+                      "double_z": True}}
+    dec = {"target": f"{PKG}.models.unet.Decoder", "params": dict(enc["params"])}
+    reg = {"target": f"{PKG}.quantization.gaussian.IdentityRegularizer", "params": {}}
+    common = dict(encoder_config=enc, decoder_config=dec, regularizer_config=reg)
+
+    with pytest.raises(NotImplementedError, match="additional_decode_keys"):
+        AutoencodingEngine(additional_decode_keys=["mask"], **common)
+    with pytest.raises(TypeError, match="unsupported kwargs"):
+        AutoencodingEngine(no_such_option=1, **common)
+    # never instantiated: the ctor raises before building the poster
+    post = {"target": f"{PKG}.models.hdit.create_hdit_model", "params": {}}
+    with pytest.raises(NotImplementedError, match="additional_decode_keys"):
+        AutoencodingPostEngine(post_config=post,
+                               additional_decode_keys=["mask"], **common)
+    with pytest.raises(TypeError, match="unsupported kwargs"):
+        AutoencodingPostEngine(post_config=post, no_such_option=1, **common)

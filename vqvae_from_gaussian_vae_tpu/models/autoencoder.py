@@ -192,6 +192,15 @@ class AutoencodingEngine:
         self.disc_start_iter = disc_start_iter
         self.diff_boost_factor = diff_boost_factor
         self.additional_decode_keys = set(default(additional_decode_keys, []))
+        if self.additional_decode_keys:
+            # reference autoencoder.py:430,607 threads these batch keys as
+            # decode(z, **kwargs); no shipped config uses it and this
+            # engine's decode is positional-only — fail loudly rather than
+            # silently dropping the keys.
+            raise NotImplementedError(
+                "additional_decode_keys is not supported: decode(z) takes no "
+                f"extra batch keys (got {sorted(self.additional_decode_keys)})"
+            )
         self.learning_rate: Optional[float] = None  # set by the trainer
         # checkpoint-selection metric (main.py:679-682: ModelCheckpoint
         # monitors model.monitor with save_top_k=3 when present)

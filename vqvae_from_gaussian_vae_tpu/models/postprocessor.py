@@ -44,7 +44,17 @@ class AutoencodingPostEngine:
     ):
         from vqvae_from_gaussian_vae_tpu.models.autoencoder import AutoencodingEngine
 
+        if additional_decode_keys:
+            raise NotImplementedError(
+                "additional_decode_keys is not supported: decode(z) takes no "
+                f"extra batch keys (got {sorted(additional_decode_keys)})"
+            )
+        if kwargs:
+            raise TypeError(
+                f"AutoencodingPostEngine got unsupported kwargs: {sorted(kwargs)}"
+            )
         self.input_key = input_key
+        self.eval_only = eval_only
         self.num_flow_steps = num_flow_steps
         self.mmse_noise_std = mmse_noise_std
         self.eps = 0.0
