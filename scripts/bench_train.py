@@ -4,6 +4,8 @@ flagship sd3unet_gq_0.25 at 256x256, reported as img/s and as fractions of
 the analytic train-step roofline (utils/flops.py:gan_train_step_flops).
 
 Env knobs:
+  BENCH_CONFIG=sd3unet_gq_0.25  (any configs/<name>.yaml, e.g. bsqvit_gq_0.25;
+                                 the roofline denominator follows the backbone)
   BENCH_BATCH=8  BENCH_ITERS=20  BENCH_TRIALS=3
   BENCH_DTYPE=fp32|bf16   (bf16 = the configs/overlays/bf16_compute.yaml
                            overlay: engine + loss compute in bfloat16)
@@ -40,7 +42,8 @@ def main():
     profile_dir = os.environ.get("BENCH_PROFILE")
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bases = [os.path.join(root, "configs", "sd3unet_gq_0.25.yaml")]
+    base_name = os.environ.get("BENCH_CONFIG", "sd3unet_gq_0.25")
+    bases = [os.path.join(root, "configs", f"{base_name}.yaml")]
     if dtype == "bf16":
         bases.append(os.path.join(root, "configs", "overlays", "bf16_compute.yaml"))
     cfg = load_config(bases)
@@ -151,7 +154,12 @@ def main():
     enc_cfg = {k: v for k, v in
                cfg["model"]["params"]["encoder_config"]["params"].items()
                if k != "dtype"}
-    fl = F.gan_train_step_flops(enc_cfg, img=256, ndf=160, n_layers=6)
+    if "vit" in cfg["model"]["params"]["encoder_config"]["target"].lower():
+        side = F.vit_flops(enc_cfg)
+        fl = F.gan_train_step_flops_from_backbone(side, side, img=256,
+                                                  ndf=160, n_layers=6)
+    else:
+        fl = F.gan_train_step_flops(enc_cfg, img=256, ndf=160, n_layers=6)
     peak = F.TPU_PEAKS["v5e_bf16"]
     pair_ms = (ae_ms + disc_ms) / 2.0
     out = {
@@ -166,7 +174,7 @@ def main():
         roof_ms = flops * batch / peak * 1e3
         out[f"{name}_roofline_frac"] = round(roof_ms / ms, 4)
     print(json.dumps({
-        "metric": f"GAN train-step pair img/s (sd3unet_gq_0.25, {dtype}, bs={batch})",
+        "metric": f"GAN train-step pair img/s ({base_name}, {dtype}, bs={batch})",
         "value": out["pair_img_per_s"], "unit": "img/s",
         "vs_baseline": out["pair_roofline_frac"], **out,
     }))

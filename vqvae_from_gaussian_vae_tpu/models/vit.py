@@ -76,16 +76,18 @@ class MultiheadAttention(nn.Module):
             and hd % 8 == 0
         )
         if use_flash:
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
+            from vqvae_from_gaussian_vae_tpu.ops.flash_attention import (
                 BlockSizes, flash_attention)
 
             # blocks must divide the sequence length (the kernel asserts it);
-            # l % 128 == 0 guarantees a divisor exists in each ladder
+            # l % 128 == 0 guarantees a divisor exists in each ladder.
+            # ops/flash_attention.py rebinds the VJP with a lean dq pass so
+            # bk=1024 does not materialise a (B, H, L, 1024) fp32 `di`.
             bq = next(bsz for bsz in (512, 256, 128) if l % bsz == 0)
             bk = next(bsz for bsz in (1024, 512, 256, 128) if l % bsz == 0)
             out = flash_attention(
-                q, k, v, causal=False, sm_scale=hd ** -0.5,
-                block_sizes=BlockSizes(
+                q, k, v, hd ** -0.5,
+                BlockSizes(
                     block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
                     block_q_major_dkv=bq, block_k_major_dkv=bk,
                     block_k_dkv=bk, block_q_dkv=bq,

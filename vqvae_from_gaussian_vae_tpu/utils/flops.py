@@ -144,6 +144,18 @@ def gan_train_step_flops(enc_cfg: Dict, img: int = 256, ndf: int = 160,
     """
     enc = unet_encoder_flops(enc_cfg)
     dec = unet_decoder_flops(enc_cfg)
+    return gan_train_step_flops_from_backbone(enc, dec, img=img, ndf=ndf,
+                                              n_layers=n_layers,
+                                              adaptive=adaptive)
+
+
+def gan_train_step_flops_from_backbone(enc: float, dec: float, *,
+                                       img: int = 256, ndf: int = 160,
+                                       n_layers: int = 6,
+                                       adaptive: bool = True) -> Dict[str, float]:
+    """`gan_train_step_flops` for arbitrary encoder/decoder forward FLOPs
+    (e.g. the bsqvit transcoder via `vit_flops`); the loss-path accounting
+    is backbone-independent."""
     lpips = vgg16_flops(img, img)
     disc = nlayer_disc_flops(img, img, ndf, n_layers)
     ae = 3.0 * (enc + dec)            # engine fwd + bwd
