@@ -24,6 +24,55 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class FusedLayerNorm(nn.Module):
+    """nn.LayerNorm-compatible module routed through the one-pass Pallas
+    kernel on TPU (ops/layer_norm.py; XLA's lowering costs ~0.24 ms per
+    norm at the bsqvit train shape — mean/var as separate reduce passes).
+
+    Parameter tree (scale/bias over the last axis), init, and epsilon
+    semantics match flax nn.LayerNorm, so checkpoints are interchangeable.
+    Off-TPU (and while initializing) it computes the plain flax way.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, add=None):
+        """LN(x), or with `add` the fused pair (s, y) = (x+add, LN(x+add))
+        — the residual-stream entry point used by
+        ResidualAttentionBlock.streamed."""
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        import os
+
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and not self.is_initializing()
+            and c % 128 == 0
+            and os.environ.get("GVQ_DISABLE_FUSED_KERNELS", "") != "1"
+        )
+        if use_kernel:
+            from vqvae_from_gaussian_vae_tpu.ops.layer_norm import (
+                layer_norm, layer_norm_add)
+
+            if add is not None:
+                return layer_norm_add(x.astype(self.dtype),
+                                      add.astype(self.dtype),
+                                      scale, bias, self.epsilon)
+            return layer_norm(x.astype(self.dtype), scale, bias, self.epsilon)
+        s = x if add is None else x + add
+        xf = s.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = (xc * jax.lax.rsqrt(var + self.epsilon) * scale + bias).astype(self.dtype)
+        if add is not None:
+            return s.astype(self.dtype), y
+        return y
+
+
 def get_attention_mask(sequence_length: int, mask_type: str = "none", block_size: int = 16):
     """Additive (-inf) disable mask, or None (`vit.py:38-80`)."""
     if mask_type is None or mask_type.lower() == "none":
@@ -74,6 +123,8 @@ class MultiheadAttention(nn.Module):
             and jax.default_backend() == "tpu"
             and l % 128 == 0
             and hd % 8 == 0
+            and __import__("os").environ.get(
+                "GVQ_DISABLE_FUSED_KERNELS", "") != "1"
         )
         if use_flash:
             from vqvae_from_gaussian_vae_tpu.ops.flash_attention import (
@@ -145,9 +196,9 @@ class ResidualAttentionBlock(nn.Module):
         # flax reduces LN statistics in fp32 regardless; pinning the
         # OUTPUT dtype to fp32 cost a transposed 50 MB materialisation
         # per LN on TPU (1.03 ms x 24 per forward, per-op trace)
-        self.ln_1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.ln_1 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.attn = MultiheadAttention(self.d_model, self.n_head, dtype=self.dtype)
-        self.ln_2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.ln_2 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.mlp = _MLP(self.d_model, int(self.d_model * self.mlp_ratio), dtype=self.dtype)
         if self.ls_init_value is not None:
             self.ls_1 = LayerScale(self.d_model, self.ls_init_value)
@@ -168,6 +219,21 @@ class ResidualAttentionBlock(nn.Module):
             x = x + self.mlp(x)
             x = self.ln_2(x)
         return x
+
+    def streamed(self, stream, delta, attn_mask=None, train: bool = False):
+        """Pre-LN step over a (stream, delta) residual pair: the pending
+        residual add fuses into the LN kernel's read (ops/layer_norm.py
+        `layer_norm_add`) — the standalone 25 MB add passes were ~0.5 ms
+        each on TPU once LN left XLA's fusion domain.  Math-identical to
+        __call__ with x = stream + delta."""
+        if delta is None:
+            s1, y1 = stream, self.ln_1(stream)
+        else:
+            s1, y1 = self.ln_1(stream, add=delta)
+        a = self._ls(1, self.attn(y1, attn_mask))
+        s2, y2 = self.ln_2(s1, add=a)
+        m = self._ls(2, self.mlp(y2))
+        return s2, m
 
 
 class Transformer(nn.Module):
@@ -197,6 +263,13 @@ class Transformer(nn.Module):
         ]
 
     def __call__(self, x, attn_mask=None, train: bool = False):
+        if self.use_preln and not self.remat:
+            # remat wraps __call__ only, so the streamed pair-threading is
+            # bypassed when activation checkpointing is requested
+            stream, delta = x, None
+            for blk in self.resblocks:
+                stream, delta = blk.streamed(stream, delta, attn_mask, train)
+            return stream if delta is None else stream + delta
         for blk in self.resblocks:
             x = blk(x, attn_mask, train)
         return x
@@ -256,7 +329,7 @@ class TransformerEncoder(nn.Module):
             nn.initializers.normal(0.02),
             (self.grid_size[0] * self.grid_size[1], self.width),
         )
-        self.ln_pre_mod = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre") if self.ln_pre else None
+        self.ln_pre_mod = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre") if self.ln_pre else None
         self.transformer = Transformer(
             width=self.width,
             layers=self.layers,
@@ -266,7 +339,7 @@ class TransformerEncoder(nn.Module):
             remat=self.remat,
             dtype=self.dtype,
         )
-        self.ln_post_mod = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")
+        self.ln_post_mod = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")
         zc = self.z_channels * 2 if self.double_z else self.z_channels
         self.quant_embed = nn.Dense(zc, dtype=self.dtype)
 
@@ -339,7 +412,7 @@ class TransformerDecoder(nn.Module):
             nn.initializers.normal(0.02),
             (self.grid_size[0] * self.grid_size[1], self.width),
         )
-        self.ln_pre_mod = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre") if self.ln_pre else None
+        self.ln_pre_mod = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre") if self.ln_pre else None
         self.transformer = Transformer(
             width=self.width,
             layers=self.layers,
@@ -349,7 +422,7 @@ class TransformerDecoder(nn.Module):
             remat=self.remat,
             dtype=self.dtype,
         )
-        self.ln_post_mod = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post") if self.ln_post else None
+        self.ln_post_mod = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post") if self.ln_post else None
         self.post_quant_embed = nn.Dense(self.width, dtype=self.dtype)
 
     def _trunk(self, x, train: bool = False):
