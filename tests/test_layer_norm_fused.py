@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vqvae_from_gaussian_vae_tpu.ops.layer_norm import layer_norm
+from vqvae_from_gaussian_vae_tpu.ops.layer_norm import layer_norm, layer_norm_add
 
 INTERPRET = jax.default_backend() != "tpu"
 
@@ -64,3 +64,37 @@ def test_fused_ln_module_param_tree_matches_nn_layernorm():
     y_f = FusedLayerNorm(epsilon=1e-5).apply({"params": p_f}, x)
     y_n = nn.LayerNorm(epsilon=1e-5).apply({"params": p_n}, x)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_n), atol=1e-6)
+
+
+def test_fused_ln_shards_over_rows():
+    """custom_partitioning: rows shard over the mesh, scale/bias replicate,
+    and the backward's parameter grads psum — numeric parity with the
+    single-device path on an 8-device mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices())
+    if devs.size < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(devs.reshape(8), ("data",))
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 256))
+    d = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 256))
+    g = jax.random.normal(jax.random.PRNGKey(2), (256,)) * 0.3 + 1.0
+    b = jax.random.normal(jax.random.PRNGKey(3), (256,)) * 0.1
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ds = jax.device_put(d, NamedSharding(mesh, P("data")))
+
+    def loss(x, d, g, b):
+        s, y = layer_norm_add(x, d, g, b, 1e-5, True)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(jnp.cos(s))
+
+    f = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    got = f(xs, ds, g, b)
+    want = f(x, d, g, b)
+    for a, c in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-5)
+    # fwd stays row-sharded (dim0 of the flattened rows = the batch dim)
+    y = jax.jit(lambda x, g, b: layer_norm(x, g, b, 1e-5, True))(xs, g, b)
+    np.testing.assert_allclose(
+        np.asarray(y),
+        np.asarray(layer_norm(x, g, b, 1e-5, True)), atol=1e-6)

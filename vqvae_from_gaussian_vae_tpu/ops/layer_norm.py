@@ -9,6 +9,16 @@ VMEM-resident pass (~0.06 ms of HBM traffic at that shape), and the
 backward recomputes the row statistics in-kernel instead of saving
 residuals, so the only extra HBM traffic of training is re-reading x.
 
+`layer_norm_add` fuses the pre-LN transformer's residual add into the
+norm's read: (s, y) = (x + delta, LN(x + delta)); the summed stream `s` is
+both the next residual input and the backward's only saved tensor.
+
+All four entry points (fwd/bwd, with/without add) carry
+`custom_partitioning` annotations: rows (the flattened batch*sequence dim)
+shard over the mesh, scale/bias stay replicated, and the backward's
+parameter grads psum over the row axis — same scheme as the resample
+kernels (ops/downsample_conv.py).
+
 Used by models/vit.py's FusedLayerNorm wrapper (parameter-compatible with
 flax nn.LayerNorm: scale/bias over the last axis); non-TPU backends run in
 interpret mode only under tests — the wrapper falls back to nn.LayerNorm
@@ -23,6 +33,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import (
+    SdyShardingRule,
+    custom_partitioning,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vqvae_from_gaussian_vae_tpu.ops.partition import batch_axis_of
 
 
 def _pick_block_r(r: int, c: int, itemsize: int) -> int:
@@ -32,6 +49,11 @@ def _pick_block_r(r: int, c: int, itemsize: int) -> int:
         if r % br == 0 and 4 * br * c * 4 <= budget:
             return br
     return 1
+
+
+# --------------------------------------------------------------------------
+# kernels
+# --------------------------------------------------------------------------
 
 
 def _ln_fwd_kernel(x_ref, g_ref, b_ref, y_ref, *, eps):
@@ -71,97 +93,6 @@ def _ln_bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref, *, eps):
     def _acc():
         dg_ref[...] += pg
         db_ref[...] += pb
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def layer_norm(x, scale, bias, eps: float = 1e-5, interpret: bool = False):
-    """y = (x - mean) * rsqrt(var + eps) * scale + bias over the last axis.
-
-    x: (..., C) with C a multiple of 128; scale/bias: (C,).
-    """
-    return _ln_fwd(x, scale, bias, eps, interpret)[0]
-
-
-def _ln_fwd_impl(x, scale, bias, eps, interpret):
-    shape = x.shape
-    c = shape[-1]
-    r = 1
-    for d in shape[:-1]:
-        r *= d
-    x2 = x.reshape(r, c)
-    br = _pick_block_r(r, c, jnp.dtype(x.dtype).itemsize)
-    g2 = scale.reshape(1, c)
-    b2 = bias.reshape(1, c)
-    y = pl.pallas_call(
-        functools.partial(_ln_fwd_kernel, eps=eps),
-        grid=(r // br,),
-        in_specs=[
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((br, c), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((r, c), x.dtype),
-        interpret=interpret,
-    )(x2, g2, b2)
-    return y.reshape(shape)
-
-
-def _ln_fwd(x, scale, bias, eps, interpret):
-    return _ln_fwd_impl(x, scale, bias, eps, interpret), (x, scale)
-
-
-def _ln_bwd(eps, interpret, res, dy):
-    x, scale = res
-    shape = x.shape
-    c = shape[-1]
-    r = 1
-    for d in shape[:-1]:
-        r *= d
-    x2 = x.reshape(r, c)
-    dy2 = dy.reshape(r, c)
-    g2 = scale.reshape(1, c)
-    br = _pick_block_r(r, c, jnp.dtype(x.dtype).itemsize)
-    dx, dg, db = pl.pallas_call(
-        functools.partial(_ln_bwd_kernel, eps=eps),
-        grid=(r // br,),
-        in_specs=[
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r, c), x.dtype),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(x2, g2, dy2)
-    return (dx.reshape(shape), dg.reshape(scale.shape).astype(scale.dtype),
-            db.reshape(scale.shape).astype(scale.dtype))
-
-
-layer_norm.defvjp(_ln_fwd, _ln_bwd)
-
-
-# --------------------------------------------------------------------------
-# Residual-add + LayerNorm:  s = x + delta;  y = LN(s)  in one pass.
-#
-# The pre-LN transformer's residual adds are standalone 25 MB elementwise
-# passes once LN leaves XLA's fusion domain (trace: `add_add_fusion`,
-# ~0.54 ms x 2/layer).  Folding the add into the LN kernel's read removes
-# them; the summed stream `s` is returned because it is the next residual
-# input (and serves as the backward's only saved tensor — stats are
-# recomputed from it in-kernel).
-# --------------------------------------------------------------------------
 
 
 def _ln_add_fwd_kernel(x_ref, d_ref, g_ref, b_ref, s_ref, y_ref, *, eps):
@@ -206,77 +137,80 @@ def _ln_add_bwd_kernel(s_ref, g_ref, dy_ref, ds_in_ref, dx_ref, dg_ref,
         db_ref[...] += pb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def layer_norm_add(x, delta, scale, bias, eps: float = 1e-5,
-                   interpret: bool = False):
-    """(s, y) = (x + delta, LayerNorm(x + delta)) in one fused pass."""
-    return _ln_add_fwd(x, delta, scale, bias, eps, interpret)[0]
+# --------------------------------------------------------------------------
+# 2-D pallas_call impls (operate on (rows, C); rows = flattened batch dims)
+# --------------------------------------------------------------------------
 
 
-def _ln_add_fwd(x, delta, scale, bias, eps, interpret):
-    shape = x.shape
-    c = shape[-1]
-    r = 1
-    for d in shape[:-1]:
-        r *= d
-    x2 = x.reshape(r, c)
-    d2 = delta.reshape(r, c)
-    g2 = scale.reshape(1, c)
-    b2 = bias.reshape(1, c)
-    br = _pick_block_r(r, c, jnp.dtype(x.dtype).itemsize)
-    s, y = pl.pallas_call(
+def _row_spec(br, c):
+    return pl.BlockSpec((br, c), lambda i: (i, 0))
+
+
+def _rep_spec(c):
+    return pl.BlockSpec((1, c), lambda i: (0, 0))
+
+
+def _ln_fwd_2d(x2, g2, b2, eps, interpret):
+    r, c = x2.shape
+    br = _pick_block_r(r, c, jnp.dtype(x2.dtype).itemsize)
+    return pl.pallas_call(
+        functools.partial(_ln_fwd_kernel, eps=eps),
+        grid=(r // br,),
+        in_specs=[_row_spec(br, c), _rep_spec(c), _rep_spec(c)],
+        out_specs=_row_spec(br, c),
+        out_shape=jax.ShapeDtypeStruct((r, c), x2.dtype),
+        interpret=interpret,
+    )(x2, g2, b2)
+
+
+def _ln_bwd_2d(x2, g2, dy2, eps, interpret):
+    r, c = x2.shape
+    br = _pick_block_r(r, c, jnp.dtype(x2.dtype).itemsize)
+    return pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, eps=eps),
+        grid=(r // br,),
+        in_specs=[_row_spec(br, c), _rep_spec(c), _row_spec(br, c)],
+        out_specs=[_row_spec(br, c), _rep_spec(c), _rep_spec(c)],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, c), x2.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x2, g2, dy2)
+
+
+def _ln_add_fwd_2d(x2, d2, g2, b2, eps, interpret):
+    r, c = x2.shape
+    br = _pick_block_r(r, c, jnp.dtype(x2.dtype).itemsize)
+    return pl.pallas_call(
         functools.partial(_ln_add_fwd_kernel, eps=eps),
         grid=(r // br,),
-        in_specs=[
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-        ],
+        in_specs=[_row_spec(br, c), _row_spec(br, c), _rep_spec(c),
+                  _rep_spec(c)],
+        out_specs=[_row_spec(br, c), _row_spec(br, c)],
         out_shape=[
-            jax.ShapeDtypeStruct((r, c), x.dtype),
-            jax.ShapeDtypeStruct((r, c), x.dtype),
+            jax.ShapeDtypeStruct((r, c), x2.dtype),
+            jax.ShapeDtypeStruct((r, c), x2.dtype),
         ],
         interpret=interpret,
     )(x2, d2, g2, b2)
-    s = s.reshape(shape)
-    y = y.reshape(shape)
-    return (s, y), (s, scale)
 
 
-def _ln_add_bwd(eps, interpret, res, cots):
-    s, scale = res
-    ds_in, dy = cots
-    shape = s.shape
-    c = shape[-1]
-    r = 1
-    for d in shape[:-1]:
-        r *= d
-    s2 = s.reshape(r, c)
-    dy2 = dy.reshape(r, c)
-    dsin2 = ds_in.reshape(r, c)
-    g2 = scale.reshape(1, c)
-    br = _pick_block_r(r, c, jnp.dtype(s.dtype).itemsize)
-    dx, dg, db = pl.pallas_call(
+def _ln_add_bwd_2d(s2, g2, dy2, dsin2, eps, interpret):
+    r, c = s2.shape
+    br = _pick_block_r(r, c, jnp.dtype(s2.dtype).itemsize)
+    return pl.pallas_call(
         functools.partial(_ln_add_bwd_kernel, eps=eps),
         grid=(r // br,),
-        in_specs=[
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((br, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-        ],
+        in_specs=[_row_spec(br, c), _rep_spec(c), _row_spec(br, c),
+                  _row_spec(br, c)],
+        out_specs=[_row_spec(br, c), _rep_spec(c), _rep_spec(c)],
         out_shape=[
-            jax.ShapeDtypeStruct((r, c), s.dtype),
+            jax.ShapeDtypeStruct((r, c), s2.dtype),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
@@ -285,7 +219,226 @@ def _ln_add_bwd(eps, interpret, res, cots):
         ),
         interpret=interpret,
     )(s2, g2, dy2, dsin2)
-    dx = dx.reshape(shape)
+
+
+# --------------------------------------------------------------------------
+# GSPMD partitioning: rows shard over the mesh, scale/bias replicate, the
+# backward's parameter grads psum over the row axis (same scheme as the
+# resample kernels' wgrad).
+# --------------------------------------------------------------------------
+
+
+def _make_ln_fwd_cp():
+    def impl(x2, g2, b2, eps, interpret):
+        return _ln_fwd_2d(x2, g2, b2, eps, interpret)
+
+    cp = custom_partitioning(impl, static_argnums=(3, 4))
+
+    def infer(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        r_ax = batch_axis_of(arg_infos[0], 0)
+        return NamedSharding(mesh, P(r_ax, None))
+
+    def partition(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        eps, interpret = args[0], args[1]
+        r_ax = batch_axis_of(arg_infos[0], 0)
+        x_sh = NamedSharding(mesh, P(r_ax, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(x2, g2, b2):
+            return _ln_fwd_2d(x2, g2, b2, eps, interpret)
+
+        return mesh, lower, x_sh, (x_sh, rep, rep)
+
+    rule = SdyShardingRule(
+        (("r", "c"), ("u1", "c"), ("u2", "c")),
+        (("r", "c"),),
+        need_replication_factors=("c", "u1", "u2"))
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
+
+def _make_ln_bwd_cp():
+    def impl(x2, g2, dy2, eps, interpret):
+        return _ln_bwd_2d(x2, g2, dy2, eps, interpret)
+
+    cp = custom_partitioning(impl, static_argnums=(3, 4))
+
+    def infer(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        r_ax = batch_axis_of(arg_infos[0], 0)
+        return (NamedSharding(mesh, P(r_ax, None)),
+                NamedSharding(mesh, P()), NamedSharding(mesh, P()))
+
+    def partition(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        eps, interpret = args[0], args[1]
+        r_ax = batch_axis_of(arg_infos[0], 0)
+        x_sh = NamedSharding(mesh, P(r_ax, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(x2, g2, dy2):
+            dx, dg, db = _ln_bwd_2d(x2, g2, dy2, eps, interpret)
+            if r_ax is not None:
+                dg = jax.lax.psum(dg, r_ax)
+                db = jax.lax.psum(db, r_ax)
+            return dx, dg, db
+
+        return mesh, lower, (x_sh, rep, rep), (x_sh, rep, x_sh)
+
+    rule = SdyShardingRule(
+        (("r", "c"), ("u1", "c"), ("r", "c")),
+        (("r", "c"), ("u2", "c"), ("u3", "c")),
+        need_replication_factors=("c", "u1", "u2", "u3"))
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
+
+def _make_ln_add_fwd_cp():
+    def impl(x2, d2, g2, b2, eps, interpret):
+        return _ln_add_fwd_2d(x2, d2, g2, b2, eps, interpret)
+
+    cp = custom_partitioning(impl, static_argnums=(4, 5))
+
+    def infer(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        r_ax = batch_axis_of(arg_infos[0], 0)
+        sh = NamedSharding(mesh, P(r_ax, None))
+        return (sh, sh)
+
+    def partition(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        eps, interpret = args[0], args[1]
+        r_ax = batch_axis_of(arg_infos[0], 0)
+        x_sh = NamedSharding(mesh, P(r_ax, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(x2, d2, g2, b2):
+            return _ln_add_fwd_2d(x2, d2, g2, b2, eps, interpret)
+
+        return mesh, lower, (x_sh, x_sh), (x_sh, x_sh, rep, rep)
+
+    rule = SdyShardingRule(
+        (("r", "c"), ("r", "c"), ("u1", "c"), ("u2", "c")),
+        (("r", "c"), ("r", "c")),
+        need_replication_factors=("c", "u1", "u2"))
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
+
+def _make_ln_add_bwd_cp():
+    def impl(s2, g2, dy2, dsin2, eps, interpret):
+        return _ln_add_bwd_2d(s2, g2, dy2, dsin2, eps, interpret)
+
+    cp = custom_partitioning(impl, static_argnums=(4, 5))
+
+    def infer(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        r_ax = batch_axis_of(arg_infos[0], 0)
+        return (NamedSharding(mesh, P(r_ax, None)),
+                NamedSharding(mesh, P()), NamedSharding(mesh, P()))
+
+    def partition(*args):
+        mesh, arg_infos = args[-3], args[-2]
+        eps, interpret = args[0], args[1]
+        r_ax = batch_axis_of(arg_infos[0], 0)
+        x_sh = NamedSharding(mesh, P(r_ax, None))
+        rep = NamedSharding(mesh, P())
+
+        def lower(s2, g2, dy2, dsin2):
+            dx, dg, db = _ln_add_bwd_2d(s2, g2, dy2, dsin2, eps, interpret)
+            if r_ax is not None:
+                dg = jax.lax.psum(dg, r_ax)
+                db = jax.lax.psum(db, r_ax)
+            return dx, dg, db
+
+        return mesh, lower, (x_sh, rep, rep), (x_sh, rep, x_sh, x_sh)
+
+    rule = SdyShardingRule(
+        (("r", "c"), ("u1", "c"), ("r", "c"), ("r", "c")),
+        (("r", "c"), ("u2", "c"), ("u3", "c")),
+        need_replication_factors=("c", "u1", "u2", "u3"))
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
+
+_LN_FWD_CP = _make_ln_fwd_cp()
+_LN_BWD_CP = _make_ln_bwd_cp()
+_LN_ADD_FWD_CP = _make_ln_add_fwd_cp()
+_LN_ADD_BWD_CP = _make_ln_add_bwd_cp()
+
+
+# --------------------------------------------------------------------------
+# public custom-VJP entry points (arbitrary leading dims)
+# --------------------------------------------------------------------------
+
+
+def _flat(x):
+    c = x.shape[-1]
+    r = 1
+    for d in x.shape[:-1]:
+        r *= d
+    return x.reshape(r, c), c
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def layer_norm(x, scale, bias, eps: float = 1e-5, interpret: bool = False):
+    """y = (x - mean) * rsqrt(var + eps) * scale + bias over the last axis.
+
+    x: (..., C) with C a multiple of 128; scale/bias: (C,).
+    """
+    return _ln_fwd(x, scale, bias, eps, interpret)[0]
+
+
+def _ln_fwd(x, scale, bias, eps, interpret):
+    x2, c = _flat(x)
+    y = _LN_FWD_CP(x2, scale.reshape(1, c), bias.reshape(1, c), eps,
+                   interpret)
+    return y.reshape(x.shape), (x, scale)
+
+
+def _ln_bwd(eps, interpret, res, dy):
+    x, scale = res
+    x2, c = _flat(x)
+    dy2, _ = _flat(dy)
+    dx, dg, db = _LN_BWD_CP(x2, scale.reshape(1, c), dy2, eps, interpret)
+    return (dx.reshape(x.shape), dg.reshape(scale.shape).astype(scale.dtype),
+            db.reshape(scale.shape).astype(scale.dtype))
+
+
+layer_norm.defvjp(_ln_fwd, _ln_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def layer_norm_add(x, delta, scale, bias, eps: float = 1e-5,
+                   interpret: bool = False):
+    """(s, y) = (x + delta, LayerNorm(x + delta)) in one fused pass."""
+    return _ln_add_fwd(x, delta, scale, bias, eps, interpret)[0]
+
+
+def _ln_add_fwd(x, delta, scale, bias, eps, interpret):
+    x2, c = _flat(x)
+    d2, _ = _flat(delta)
+    s, y = _LN_ADD_FWD_CP(x2, d2, scale.reshape(1, c), bias.reshape(1, c),
+                          eps, interpret)
+    s = s.reshape(x.shape)
+    return (s, y.reshape(x.shape)), (s, scale)
+
+
+def _ln_add_bwd(eps, interpret, res, cots):
+    s, scale = res
+    ds_in, dy = cots
+    s2, c = _flat(s)
+    dy2, _ = _flat(dy)
+    dsin2, _ = _flat(ds_in)
+    dx, dg, db = _LN_ADD_BWD_CP(s2, scale.reshape(1, c), dy2, dsin2, eps,
+                                interpret)
+    dx = dx.reshape(s.shape)
     return (dx, dx,
             dg.reshape(scale.shape).astype(scale.dtype),
             db.reshape(scale.shape).astype(scale.dtype))
