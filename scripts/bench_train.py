@@ -155,9 +155,9 @@ def main():
                cfg["model"]["params"]["encoder_config"]["params"].items()
                if k != "dtype"}
     if "vit" in cfg["model"]["params"]["encoder_config"]["target"].lower():
-        side = F.vit_flops(enc_cfg)
-        fl = F.gan_train_step_flops_from_backbone(side, side, img=256,
-                                                  ndf=160, n_layers=6)
+        fl = F.gan_train_step_flops_from_backbone(
+            F.vit_flops(enc_cfg), F.vit_decoder_flops(enc_cfg), img=256,
+            ndf=160, n_layers=6)
     else:
         fl = F.gan_train_step_flops(enc_cfg, img=256, ndf=160, n_layers=6)
     peak = F.TPU_PEAKS["v5e_bf16"]

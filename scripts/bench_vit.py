@@ -48,8 +48,10 @@ for _ in range(3):
     best = min(best, (time.perf_counter() - t0) / 30)
 
 vit_cfg = dict(patch_size=8, image_size=256, width=enc_p.get("width", 768),
-               layers=enc_p.get("layers", 12))
-fl = 2 * F.vit_flops(vit_cfg) + F.gq_search_flops(1024 * 1, 16, 65536)
+               layers=enc_p.get("layers", 12),
+               z_channels=enc_p.get("z_channels", 16))
+fl = (F.vit_flops(vit_cfg) + F.vit_decoder_flops(vit_cfg)
+      + F.gq_search_flops(1024 * 1, 16, 65536))
 print(f"bsqvit e2e bs={B}: {best*1e3:.2f} ms = {B/best:.1f} img/s; "
       f"~{fl/1e9:.0f} GF/img analytic -> roofline {197e12/fl:.0f} img/s "
       f"-> fraction {B/best/(197e12/fl):.3f}")

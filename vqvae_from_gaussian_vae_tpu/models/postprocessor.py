@@ -59,7 +59,11 @@ class AutoencodingPostEngine:
         self.mmse_noise_std = mmse_noise_std
         self.eps = 0.0
         self.clamp_range = tuple(clamp_range) if clamp_range is not None else None
-        self.optimizer_config = default(optimizer_config, {"target": "optax.adam"})
+        # reference postprocessor.py:54-57: eval_only skips the optimizer
+        # config entirely; make_train_step raises on an eval-only engine
+        self.optimizer_config = (
+            None if eval_only
+            else default(optimizer_config, {"target": "optax.adam"}))
         self.learning_rate: Optional[float] = None
 
         # frozen AE via the standard engine (shares encode/decode/quant API)
@@ -154,6 +158,10 @@ class AutoencodingPostEngine:
     def make_train_step(self, learning_rate: float):
         """Jitted rectified-flow step over (poster_params, opt_state)
         (`postprocessor.py:144-162`); the AE stays frozen."""
+        if self.eval_only:
+            raise RuntimeError(
+                "AutoencodingPostEngine was built with eval_only=True; "
+                "it has no optimizer to train with")
         opt = optax.adam(learning_rate)
         ae_module, ae_params = self.ae.module, self.ae.params
 

@@ -33,6 +33,7 @@ from jax.experimental.pallas.ops.tpu.flash_attention import (
     _flash_attention_bwd_dkv,
     _flash_attention_dq_kernel,
     _flash_attention_impl,
+    _verify_block,
 )
 
 __all__ = ["flash_attention", "BlockSizes"]
@@ -59,6 +60,11 @@ def _fwd(q, k, v, sm_scale, block_sizes):
 
 def _bwd(sm_scale, block_sizes, res, do):
     q, k, v, o, l, m = res
+    if not block_sizes.has_backward_blocks:
+        raise ValueError(
+            "Program is being differentiated, but not all backward blocks "
+            "are specified in BlockSizes"
+        )
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
 
     dk, dv = _flash_attention_bwd_dkv(
@@ -92,6 +98,11 @@ def _bwd_dq_lean(q, k, v, l, m, do, di, *, block_q_major, block_k_major,
     flash_attention.py:911)."""
     batch_size, num_heads, q_seq_len, head_dim = q.shape
     kv_seq_len = k.shape[2]
+    # same divisibility contract as the upstream wrapper: a non-dividing
+    # block would silently truncate the grid and leave dq rows garbage
+    _verify_block("block_q_dq", "q_seq_len", block_q_major, q_seq_len)
+    _verify_block("block_k_major_dq", "kv_seq_len", block_k_major, kv_seq_len)
+    _verify_block("block_k_dq", "block_k", block_k, kv_seq_len)
 
     m = jnp.broadcast_to(m[..., None], (*m.shape, MIN_BLOCK_SIZE))
     l = jnp.broadcast_to(l[..., None], (*l.shape, MIN_BLOCK_SIZE))

@@ -42,8 +42,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from vqvae_from_gaussian_vae_tpu.ops.partition import batch_axis_of
 
 
-def _pick_block_r(r: int, c: int, itemsize: int) -> int:
-    # keep x/y/dy/dx tiles (f32 working set ~4 buffers) within ~6 MiB VMEM
+def _pick_block_r(r: int, c: int) -> int:
+    # keep the ~4-buffer working set within ~6 MiB VMEM; the kernels
+    # compute in f32 regardless of IO dtype, so the bound is f32-sized
     budget = 6 * 1024 * 1024
     for br in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         if r % br == 0 and 4 * br * c * 4 <= budget:
@@ -96,8 +97,13 @@ def _ln_bwd_kernel(x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref, *, eps):
 
 
 def _ln_add_fwd_kernel(x_ref, d_ref, g_ref, b_ref, s_ref, y_ref, *, eps):
-    s = x_ref[...].astype(jnp.float32) + d_ref[...].astype(jnp.float32)
-    s_ref[...] = s.astype(s_ref.dtype)
+    s_out = (x_ref[...].astype(jnp.float32)
+             + d_ref[...].astype(jnp.float32)).astype(s_ref.dtype)
+    s_ref[...] = s_out
+    # statistics from the ROUNDED stream: the backward recomputes them
+    # from the saved s, and the unfused path norms the already-rounded sum
+    # — both must see the same values
+    s = s_out.astype(jnp.float32)
     mu = jnp.mean(s, axis=1, keepdims=True)
     xc = s - mu
     var = jnp.mean(xc * xc, axis=1, keepdims=True)
@@ -152,7 +158,7 @@ def _rep_spec(c):
 
 def _ln_fwd_2d(x2, g2, b2, eps, interpret):
     r, c = x2.shape
-    br = _pick_block_r(r, c, jnp.dtype(x2.dtype).itemsize)
+    br = _pick_block_r(r, c)
     return pl.pallas_call(
         functools.partial(_ln_fwd_kernel, eps=eps),
         grid=(r // br,),
@@ -165,7 +171,7 @@ def _ln_fwd_2d(x2, g2, b2, eps, interpret):
 
 def _ln_bwd_2d(x2, g2, dy2, eps, interpret):
     r, c = x2.shape
-    br = _pick_block_r(r, c, jnp.dtype(x2.dtype).itemsize)
+    br = _pick_block_r(r, c)
     return pl.pallas_call(
         functools.partial(_ln_bwd_kernel, eps=eps),
         grid=(r // br,),
@@ -185,7 +191,7 @@ def _ln_bwd_2d(x2, g2, dy2, eps, interpret):
 
 def _ln_add_fwd_2d(x2, d2, g2, b2, eps, interpret):
     r, c = x2.shape
-    br = _pick_block_r(r, c, jnp.dtype(x2.dtype).itemsize)
+    br = _pick_block_r(r, c)
     return pl.pallas_call(
         functools.partial(_ln_add_fwd_kernel, eps=eps),
         grid=(r // br,),
@@ -202,7 +208,7 @@ def _ln_add_fwd_2d(x2, d2, g2, b2, eps, interpret):
 
 def _ln_add_bwd_2d(s2, g2, dy2, dsin2, eps, interpret):
     r, c = s2.shape
-    br = _pick_block_r(r, c, jnp.dtype(s2.dtype).itemsize)
+    br = _pick_block_r(r, c)
     return pl.pallas_call(
         functools.partial(_ln_add_bwd_kernel, eps=eps),
         grid=(r // br,),
@@ -228,149 +234,69 @@ def _ln_add_bwd_2d(s2, g2, dy2, dsin2, eps, interpret):
 # --------------------------------------------------------------------------
 
 
-def _make_ln_fwd_cp():
-    def impl(x2, g2, b2, eps, interpret):
-        return _ln_fwd_2d(x2, g2, b2, eps, interpret)
+def _make_ln_cp(impl, op_kinds, out_kinds):
+    """One custom_partitioning builder for all four LN entry points.
 
-    cp = custom_partitioning(impl, static_argnums=(3, 4))
+    `op_kinds` / `out_kinds` mark each operand/output as "row" (a
+    row-sharded (rows, C) array), "rep" (a replicated (1, C) param), or —
+    outputs only — "reduced" (a (1, C) per-shard partial the lowered
+    function psums over the row axis: the backward's parameter grads).
+    The trailing (eps, interpret) args are static.
+    """
+    n = len(op_kinds)
+    cp = custom_partitioning(impl, static_argnums=(n, n + 1))
+
+    def shardings(mesh, r_ax, kinds):
+        row = NamedSharding(mesh, P(r_ax, None))
+        rep = NamedSharding(mesh, P())
+        return tuple(row if k == "row" else rep for k in kinds)
 
     def infer(*args):
         mesh, arg_infos = args[-3], args[-2]
         r_ax = batch_axis_of(arg_infos[0], 0)
-        return NamedSharding(mesh, P(r_ax, None))
+        out = shardings(mesh, r_ax, out_kinds)
+        return out if len(out) > 1 else out[0]
 
     def partition(*args):
         mesh, arg_infos = args[-3], args[-2]
         eps, interpret = args[0], args[1]
         r_ax = batch_axis_of(arg_infos[0], 0)
-        x_sh = NamedSharding(mesh, P(r_ax, None))
-        rep = NamedSharding(mesh, P())
 
-        def lower(x2, g2, b2):
-            return _ln_fwd_2d(x2, g2, b2, eps, interpret)
+        def lower(*arrs):
+            res = impl(*arrs, eps, interpret)
+            if r_ax is None or not isinstance(res, (tuple, list)):
+                return res
+            return tuple(
+                jax.lax.psum(o, r_ax) if k == "reduced" else o
+                for o, k in zip(res, out_kinds))
 
-        return mesh, lower, x_sh, (x_sh, rep, rep)
+        out_sh = shardings(mesh, r_ax, out_kinds)
+        return (mesh, lower, out_sh if len(out_sh) > 1 else out_sh[0],
+                shardings(mesh, r_ax, op_kinds))
 
-    rule = SdyShardingRule(
-        (("r", "c"), ("u1", "c"), ("u2", "c")),
-        (("r", "c"),),
-        need_replication_factors=("c", "u1", "u2"))
+    counter = iter(range(32))
+
+    def dims(kinds):
+        return tuple(("r", "c") if k == "row" else (f"u{next(counter)}", "c")
+                     for k in kinds)
+
+    op_dims = dims(op_kinds)
+    out_dims = dims(out_kinds)
+    units = tuple(d[0] for d in op_dims + out_dims if d[0] != "r")
+    rule = SdyShardingRule(op_dims, out_dims,
+                           need_replication_factors=("c",) + units)
     cp.def_partition(partition, infer_sharding_from_operands=infer,
                      sharding_rule=rule)
     return cp
 
 
-def _make_ln_bwd_cp():
-    def impl(x2, g2, dy2, eps, interpret):
-        return _ln_bwd_2d(x2, g2, dy2, eps, interpret)
-
-    cp = custom_partitioning(impl, static_argnums=(3, 4))
-
-    def infer(*args):
-        mesh, arg_infos = args[-3], args[-2]
-        r_ax = batch_axis_of(arg_infos[0], 0)
-        return (NamedSharding(mesh, P(r_ax, None)),
-                NamedSharding(mesh, P()), NamedSharding(mesh, P()))
-
-    def partition(*args):
-        mesh, arg_infos = args[-3], args[-2]
-        eps, interpret = args[0], args[1]
-        r_ax = batch_axis_of(arg_infos[0], 0)
-        x_sh = NamedSharding(mesh, P(r_ax, None))
-        rep = NamedSharding(mesh, P())
-
-        def lower(x2, g2, dy2):
-            dx, dg, db = _ln_bwd_2d(x2, g2, dy2, eps, interpret)
-            if r_ax is not None:
-                dg = jax.lax.psum(dg, r_ax)
-                db = jax.lax.psum(db, r_ax)
-            return dx, dg, db
-
-        return mesh, lower, (x_sh, rep, rep), (x_sh, rep, x_sh)
-
-    rule = SdyShardingRule(
-        (("r", "c"), ("u1", "c"), ("r", "c")),
-        (("r", "c"), ("u2", "c"), ("u3", "c")),
-        need_replication_factors=("c", "u1", "u2", "u3"))
-    cp.def_partition(partition, infer_sharding_from_operands=infer,
-                     sharding_rule=rule)
-    return cp
-
-
-def _make_ln_add_fwd_cp():
-    def impl(x2, d2, g2, b2, eps, interpret):
-        return _ln_add_fwd_2d(x2, d2, g2, b2, eps, interpret)
-
-    cp = custom_partitioning(impl, static_argnums=(4, 5))
-
-    def infer(*args):
-        mesh, arg_infos = args[-3], args[-2]
-        r_ax = batch_axis_of(arg_infos[0], 0)
-        sh = NamedSharding(mesh, P(r_ax, None))
-        return (sh, sh)
-
-    def partition(*args):
-        mesh, arg_infos = args[-3], args[-2]
-        eps, interpret = args[0], args[1]
-        r_ax = batch_axis_of(arg_infos[0], 0)
-        x_sh = NamedSharding(mesh, P(r_ax, None))
-        rep = NamedSharding(mesh, P())
-
-        def lower(x2, d2, g2, b2):
-            return _ln_add_fwd_2d(x2, d2, g2, b2, eps, interpret)
-
-        return mesh, lower, (x_sh, x_sh), (x_sh, x_sh, rep, rep)
-
-    rule = SdyShardingRule(
-        (("r", "c"), ("r", "c"), ("u1", "c"), ("u2", "c")),
-        (("r", "c"), ("r", "c")),
-        need_replication_factors=("c", "u1", "u2"))
-    cp.def_partition(partition, infer_sharding_from_operands=infer,
-                     sharding_rule=rule)
-    return cp
-
-
-def _make_ln_add_bwd_cp():
-    def impl(s2, g2, dy2, dsin2, eps, interpret):
-        return _ln_add_bwd_2d(s2, g2, dy2, dsin2, eps, interpret)
-
-    cp = custom_partitioning(impl, static_argnums=(4, 5))
-
-    def infer(*args):
-        mesh, arg_infos = args[-3], args[-2]
-        r_ax = batch_axis_of(arg_infos[0], 0)
-        return (NamedSharding(mesh, P(r_ax, None)),
-                NamedSharding(mesh, P()), NamedSharding(mesh, P()))
-
-    def partition(*args):
-        mesh, arg_infos = args[-3], args[-2]
-        eps, interpret = args[0], args[1]
-        r_ax = batch_axis_of(arg_infos[0], 0)
-        x_sh = NamedSharding(mesh, P(r_ax, None))
-        rep = NamedSharding(mesh, P())
-
-        def lower(s2, g2, dy2, dsin2):
-            dx, dg, db = _ln_add_bwd_2d(s2, g2, dy2, dsin2, eps, interpret)
-            if r_ax is not None:
-                dg = jax.lax.psum(dg, r_ax)
-                db = jax.lax.psum(db, r_ax)
-            return dx, dg, db
-
-        return mesh, lower, (x_sh, rep, rep), (x_sh, rep, x_sh, x_sh)
-
-    rule = SdyShardingRule(
-        (("r", "c"), ("u1", "c"), ("r", "c"), ("r", "c")),
-        (("r", "c"), ("u2", "c"), ("u3", "c")),
-        need_replication_factors=("c", "u1", "u2", "u3"))
-    cp.def_partition(partition, infer_sharding_from_operands=infer,
-                     sharding_rule=rule)
-    return cp
-
-
-_LN_FWD_CP = _make_ln_fwd_cp()
-_LN_BWD_CP = _make_ln_bwd_cp()
-_LN_ADD_FWD_CP = _make_ln_add_fwd_cp()
-_LN_ADD_BWD_CP = _make_ln_add_bwd_cp()
+_LN_FWD_CP = _make_ln_cp(_ln_fwd_2d, ("row", "rep", "rep"), ("row",))
+_LN_BWD_CP = _make_ln_cp(_ln_bwd_2d, ("row", "rep", "row"),
+                         ("row", "reduced", "reduced"))
+_LN_ADD_FWD_CP = _make_ln_cp(_ln_add_fwd_2d, ("row", "row", "rep", "rep"),
+                             ("row", "row"))
+_LN_ADD_BWD_CP = _make_ln_cp(_ln_add_bwd_2d, ("row", "rep", "row", "row"),
+                             ("row", "reduced", "reduced"))
 
 
 # --------------------------------------------------------------------------
