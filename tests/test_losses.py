@@ -177,3 +177,26 @@ def test_loss_dtype_knob_keeps_params_fp32():
     loss, _ = m.apply(v, x, x * 0.9, regularization_log={}, optimizer_idx=0,
                       global_step=5, train=True, d_weight=jnp.float32(0.5))
     assert np.isfinite(float(loss))
+
+
+def test_visualize_disc_logits_zero_size_logit_map():
+    """An n_layers-deep PatchGAN on a small image can collapse the logit map
+    to zero spatial size (seen with the production n_layers=6 disc at 128px);
+    the visualizer must return {} instead of crashing on np.abs(lr).max()."""
+    import jax
+    from vqvae_from_gaussian_vae_tpu.losses.discriminator_loss import visualize_disc_logits
+
+    loss = GeneralLPIPSWithDiscriminator(
+        disc_start=0,
+        discriminator_config={
+            "target": "vqvae_from_gaussian_vae_tpu.losses.discriminator.NLayerDiscriminator",
+            "params": {"input_nc": 3, "ndf": 8, "n_layers": 6, "use_actnorm": True},
+        },
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)), jnp.float32)
+    variables = loss.init(RNG, x, x, method="init_all")
+    lr, lf = loss.apply(variables, x, x, method="disc_logits")
+    assert lr.size == 0  # precondition: the map really is empty at this depth
+    out = visualize_disc_logits(loss, variables["params"], x, x)
+    assert out == {}

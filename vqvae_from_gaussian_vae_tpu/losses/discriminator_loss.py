@@ -245,7 +245,9 @@ def visualize_disc_logits(loss_module, loss_params, inputs, reconstructions):
         {"params": loss_params}, inputs, reconstructions, method="disc_logits"
     )
     lr, lf = np.asarray(lr, np.float32), np.asarray(lf, np.float32)
-    if lr.ndim < 4:
+    if lr.ndim < 4 or lr.size == 0 or lf.size == 0:
+        # n_layers=6 PatchGAN on small inputs (<=128px) can collapse the
+        # logit map to zero spatial size - nothing to visualize.
         return {}
     high = max(np.abs(lr).max(), np.abs(lf).max(), 1e-6)
     cmap = colormaps["PiYG"]
