@@ -139,3 +139,34 @@ def test_inception_score_sanity():
     onehot = np.eye(c)[np.arange(n) % c] * 0.999 + 1e-4
     m2, _ = inception_score(onehot, splits=2)
     assert m2 > 5.0
+
+
+def test_get_inception_score_matches_reference_oracle():
+    """Bit-compatibility with the reference's get_inception_score, whose
+    scipy.stats.entropy call runs with the default axis=0 (per-class column
+    KL over samples) rather than the standard per-sample IS; see module doc
+    and PARITY.md defect table."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from pit.evaluations.inception_score import get_inception_score as ref_is
+
+    from vqvae_from_gaussian_vae_tpu.evaluations.inception_score import (
+        get_inception_score,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(64, 10), (257, 1008), (3, 5)]:
+        logits = rng.normal(scale=3.0, size=shape).astype(np.float32)
+        ours = get_inception_score(logits)
+        ref = float(ref_is(logits))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    # The formulas coincide only when the class marginal is uniform (the
+    # reference's per-class 1/(N*m_c) weight reduces to the standard 1/N);
+    # with an imbalanced marginal they diverge.
+    labels = np.where(np.arange(100) < 90, 0, 1 + np.arange(100) % 9)
+    onehot = np.log(np.eye(10)[labels] * 0.999 + 1e-4)
+    probs = np.exp(onehot) / np.exp(onehot).sum(axis=1, keepdims=True)
+    standard, _ = inception_score(probs, splits=1)
+    assert abs(get_inception_score(onehot) - standard) > 0.5
