@@ -95,12 +95,15 @@ def get_attention_mask(sequence_length: int, mask_type: str = "none", block_size
 class MultiheadAttention(nn.Module):
     """torch nn.MultiheadAttention-compatible packed-QKV self-attention.
 
-    On TPU, unmasked attention routes through the Pallas flash-attention
-    kernel (block-wise online softmax, custom fwd+bwd): the einsum-softmax
-    path materialises the full fp32 (B, H, L, L) probability tensor — at
-    the bsqvit shape (16, 12, 1024, 1024) that is 805 MB of HBM per block,
-    measured 1.25 ms x 24 blocks per forward.  Masked calls (the video
-    causal/block-causal paths) and non-TPU backends keep the einsum chain.
+    On TPU, unmasked attention routes through the layout-native Pallas
+    flash kernel (ops/flash_blc.py), which consumes the packed-QKV
+    projection's (B, L, H*D) slices directly — the whole attention block
+    runs without a single (B, L, C) <-> (B, H, L, D) layout copy (the
+    conventional head-major kernel cost 4 copies x 25 MB per layer,
+    9.4 ms of a 65 ms bsqvit e2e forward).  The einsum fallback (masked
+    video paths, non-TPU backends, exotic shapes) also stays in blhd
+    form, but materialises the fp32 (B, H, L, L) probability tensor —
+    805 MB per block at the bsqvit shape, measured 3x slower.
     """
 
     d_model: int
@@ -113,14 +116,7 @@ class MultiheadAttention(nn.Module):
         b, l, c = x.shape
         hd = c // self.n_head
         # Param layout is identical to nn.Dense(3c name=in_proj)/Dense(c
-        # name=out_proj) — checkpoints/converters unaffected — but the
-        # compute path is dtype-gated on measurement (v5e, bsqvit shape
-        # 16x1024x768): in fp32 folding the head split/merge into the
-        # projection einsums avoids four per-layer (B,L,C)<->(B,H,L,D)
-        # layout copies and wins 1.5x e2e (145 -> 97 ms); in bf16 XLA's
-        # fused packed-matmul + copy beats the folded einsums (e2e 84 vs
-        # 90 ms, train pair 78.3 vs 76.3 img/s), so bf16 keeps the packed
-        # path.
+        # name=out_proj) so checkpoints/converters are unaffected.
         w_in = self.param(
             "in_proj",
             lambda rng, shape: {
@@ -130,53 +126,32 @@ class MultiheadAttention(nn.Module):
             None,
         )
         xc = x.astype(self.dtype)
-        folded = jnp.dtype(self.dtype) != jnp.dtype(jnp.bfloat16)
-        if folded:
-            kern = w_in["kernel"].astype(self.dtype).reshape(c, 3, self.n_head, hd)
-            bias = w_in["bias"].astype(self.dtype).reshape(3, self.n_head, 1, hd)
-            q = jnp.einsum("blc,chd->bhld", xc, kern[:, 0]) + bias[0][None]
-            k = jnp.einsum("blc,chd->bhld", xc, kern[:, 1]) + bias[1][None]
-            v = jnp.einsum("blc,chd->bhld", xc, kern[:, 2]) + bias[2][None]
-        else:
-            qkv = xc @ w_in["kernel"].astype(self.dtype) + w_in["bias"].astype(self.dtype)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            q = q.reshape(b, l, self.n_head, hd).transpose(0, 2, 1, 3)
-            k = k.reshape(b, l, self.n_head, hd).transpose(0, 2, 1, 3)
-            v = v.reshape(b, l, self.n_head, hd).transpose(0, 2, 1, 3)
+        qkv = xc @ w_in["kernel"].astype(self.dtype) + w_in["bias"].astype(self.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         use_flash = (
             self.flash
             and attn_mask is None
             and jax.default_backend() == "tpu"
             and l % 128 == 0
+            and 128 <= l <= 4096
             and hd % 8 == 0
             and __import__("os").environ.get(
                 "GVQ_DISABLE_FUSED_KERNELS", "") != "1"
         )
         if use_flash:
-            from vqvae_from_gaussian_vae_tpu.ops.flash_attention import (
-                BlockSizes, flash_attention)
+            from vqvae_from_gaussian_vae_tpu.ops.flash_blc import (
+                flash_attention_blc)
 
-            # blocks must divide the sequence length (the kernel asserts it);
-            # l % 128 == 0 guarantees a divisor exists in each ladder.
-            # ops/flash_attention.py rebinds the VJP with a lean dq pass so
-            # bk=1024 does not materialise a (B, H, L, 1024) fp32 `di`.
-            bq = next(bsz for bsz in (512, 256, 128) if l % bsz == 0)
-            bk = next(bsz for bsz in (1024, 512, 256, 128) if l % bsz == 0)
-            out = flash_attention(
-                q, k, v, hd ** -0.5,
-                BlockSizes(
-                    block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-                    block_q_major_dkv=bq, block_k_major_dkv=bk,
-                    block_k_dkv=bk, block_q_dkv=bq,
-                    block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
-                ),
-            )
+            out = flash_attention_blc(q, k, v, hd ** -0.5, self.n_head)
         else:
-            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (hd**-0.5)
+            qh = q.reshape(b, l, self.n_head, hd)
+            kh = k.reshape(b, l, self.n_head, hd)
+            vh = v.reshape(b, l, self.n_head, hd)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32) * (hd**-0.5)
             if attn_mask is not None:
                 attn = attn + attn_mask
-            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, l, c)
         w_out = self.param(
             "out_proj",
             lambda rng, shape: {
@@ -185,15 +160,7 @@ class MultiheadAttention(nn.Module):
             },
             None,
         )
-        if folded:
-            out = jnp.einsum(
-                "bhld,hdc->blc",
-                out,
-                w_out["kernel"].astype(self.dtype).reshape(self.n_head, hd, c),
-            )
-        else:
-            out = out.transpose(0, 2, 1, 3).reshape(b, l, c)
-            out = out @ w_out["kernel"].astype(self.dtype)
+        out = out @ w_out["kernel"].astype(self.dtype)
         return out + w_out["bias"].astype(self.dtype)
 
 

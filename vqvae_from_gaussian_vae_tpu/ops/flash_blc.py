@@ -1,0 +1,289 @@
+"""Layout-native TPU flash attention for the ViT backbones.
+
+Takes q/k/v in packed ``(B, L, H*D)`` — the layout the QKV projection
+already produces — instead of the conventional ``(B, H, L, D)``.  The
+reference attention (vit.py:86 via nn.MultiheadAttention) and the stock
+Pallas kernel both want head-major tensors, which costs four
+(B, L, C) <-> (B, H, L, D) layout copies per transformer layer; at the
+bsqvit operating shape (16x1024x12x64 bf16) each copy is a 25 MB HBM
+round-trip that XLA cannot fuse away (measured: 72 copies x 0.13 ms =
+9.4 ms of a 65 ms e2e forward).  Here every DMA is a dense row-major
+tile of the packed array: the grid blocks the channel axis into
+128-lane-aligned head groups and the per-head split is a static lane
+slice inside the kernel.
+
+The kernels exploit the tokenizer regime (L <= a few thousand, D a
+multiple of 8): one head group's k/v rows fit VMEM whole, so the
+forward computes an exact single-pass softmax (no online-softmax
+accumulation, no l/m residuals) and the backward is ONE kernel producing
+dq/dk/dv together, recomputing the softmax in-VMEM (cheaper than the HBM
+traffic for residual l/m/di tensors).  Scope: unmasked, non-causal
+self-attention — masked/video paths route through the einsum branch in
+models/vit.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import (
+    SdyShardingRule,
+    custom_partitioning,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vqvae_from_gaussian_vae_tpu.ops.partition import batch_axis_of
+
+__all__ = ["flash_attention_blc"]
+
+_TRANS_B = (((1,), (1,)), ((), ()))  # contract dim1 of both: x @ y^T
+
+
+def _heads_per_block(num_heads: int, head_dim: int) -> int:
+    # smallest head group whose lane width is a multiple of 128 (grid
+    # parallelism is worth more than per-invocation bulk here); fall back
+    # to the whole channel axis, which Pallas always accepts
+    for g in range(1, num_heads):
+        if num_heads % g == 0 and (g * head_dim) % 128 == 0:
+            return g
+    return num_heads
+
+
+def _pick_block_q(seq_len: int, budget_bytes: int) -> int:
+    # bound the (block_q, L) fp32 score/probability tiles
+    for bq in (1024, 512, 256, 128):
+        if bq * seq_len * 4 <= budget_bytes and seq_len % bq == 0:
+            return bq
+    return 128
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
+    q = q_ref[0]  # (block_q, heads * D)
+    k = k_ref[0]  # (L, heads * D)
+    v = v_ref[0]
+    d = q.shape[-1] // heads
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = lax.dot_general(q[:, sl], k[:, sl], _TRANS_B,
+                            preferred_element_type=jnp.float32)
+        s *= sm_scale
+        m = jnp.max(s, axis=1)[:, None]
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1)[:, None]
+        o_ref[0, :, sl] = lax.dot(
+            p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
+                *, sm_scale, heads, num_q_blocks):
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros(dk_scratch.shape, dk_scratch.dtype)
+        dv_scratch[...] = jnp.zeros(dv_scratch.shape, dv_scratch.dtype)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
+    d = q.shape[-1] // heads
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        s = lax.dot_general(qh, kh, _TRANS_B,
+                            preferred_element_type=jnp.float32)
+        s *= sm_scale
+        m = jnp.max(s, axis=1)[:, None]
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1)[:, None]
+
+        pb = p.astype(doh.dtype)
+        dv_scratch[:, sl] += lax.dot(
+            pb.T, doh, preferred_element_type=jnp.float32
+        ).astype(dv_scratch.dtype)
+
+        dp = lax.dot_general(doh, vh, _TRANS_B,
+                             preferred_element_type=jnp.float32)
+        di = jnp.sum(doh.astype(jnp.float32) * o[:, sl].astype(jnp.float32),
+                     axis=1)[:, None]
+        ds = p * (dp - di) * sm_scale
+        dsb = ds.astype(qh.dtype)
+
+        dk_scratch[:, sl] += lax.dot(
+            dsb.T, qh, preferred_element_type=jnp.float32
+        ).astype(dk_scratch.dtype)
+        dq_ref[0, :, sl] = lax.dot(
+            dsb, kh, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _flush():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
+    b, l, c = q.shape
+    d = c // num_heads
+    hpb = _heads_per_block(num_heads, d)
+    cg = hpb * d
+    block_q = _pick_block_q(l, 2 * 1024 * 1024)
+    grid = (b, num_heads // hpb, l // block_q)
+
+    def q_map(bi, gi, qi):
+        return (bi, qi, gi)
+
+    def kv_map(bi, gi, qi):
+        del qi
+        return (bi, 0, gi)
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, heads=hpb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, cg), q_map),
+                pl.BlockSpec((1, l, cg), kv_map),
+                pl.BlockSpec((1, l, cg), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, cg), q_map),
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        name=f"flash_blc_fwd_h{hpb}_bq{block_q}",
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _bwd_call(q, k, v, o, do, sm_scale, num_heads, interpret):
+    b, l, c = q.shape
+    d = c // num_heads
+    hpb = _heads_per_block(num_heads, d)
+    cg = hpb * d
+    # the backward holds several fp32 (block_q, L) tiles live plus the
+    # (L, cg) fp32 dk/dv accumulators; use a smaller score budget
+    block_q = _pick_block_q(l, 1024 * 1024)
+    nq = l // block_q
+    grid = (b, num_heads // hpb, nq)
+
+    def q_map(bi, gi, qi):
+        return (bi, qi, gi)
+
+    def kv_map(bi, gi, qi):
+        del qi
+        return (bi, 0, gi)
+
+    q_spec = pl.BlockSpec((1, block_q, cg), q_map)
+    kv_spec = pl.BlockSpec((1, l, cg), kv_map)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, sm_scale=sm_scale, heads=hpb,
+                          num_q_blocks=nq),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec],
+            out_specs=[q_spec, kv_spec, kv_spec],
+            scratch_shapes=[
+                pltpu.VMEM((l, cg), jnp.float32),
+                pltpu.VMEM((l, cg), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        name=f"flash_blc_bwd_h{hpb}_bq{block_q}",
+        interpret=interpret,
+    )(q, k, v, o, do)
+    return dq, dk, dv
+
+
+# --------------------------------------------------------------------------
+# GSPMD partitioning: attention is independent per batch element, so both
+# pallas_calls shard over dim 0 of every operand/output with no
+# collectives; a bare pallas_call would otherwise be *replicated* on a
+# mesh (every chip computing the global batch — see ops/layer_norm.py).
+# --------------------------------------------------------------------------
+
+
+def _make_batch_cp(impl, n_arrays):
+    cp = custom_partitioning(
+        impl, static_argnums=(n_arrays, n_arrays + 1, n_arrays + 2))
+
+    def _shardings(mesh, b_ax, n):
+        s = NamedSharding(mesh, P(b_ax, None, None))
+        return (s,) * n
+
+    def infer(sm_scale, num_heads, interpret, mesh, arg_infos, result_infos):
+        del sm_scale, num_heads, interpret
+        b_ax = batch_axis_of(arg_infos[0], 0)
+        n_out = len(result_infos) if isinstance(result_infos, (tuple, list)) else 1
+        out = _shardings(mesh, b_ax, n_out)
+        return out if n_out > 1 else out[0]
+
+    def partition(sm_scale, num_heads, interpret, mesh, arg_infos,
+                  result_infos):
+        b_ax = batch_axis_of(arg_infos[0], 0)
+
+        def lower(*arrs):
+            return impl(*arrs, sm_scale, num_heads, interpret)
+
+        n_out = len(result_infos) if isinstance(result_infos, (tuple, list)) else 1
+        out_sh = _shardings(mesh, b_ax, n_out)
+        return (mesh, lower, out_sh if n_out > 1 else out_sh[0],
+                _shardings(mesh, b_ax, n_arrays))
+
+    dims = (("b", "l", "c"),) * n_arrays
+    n_out = 1 if n_arrays == 3 else 3
+    rule = SdyShardingRule(dims, (("b", "l", "c"),) * n_out,
+                           need_replication_factors=("l", "c"))
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return cp
+
+
+_FWD_CP = _make_batch_cp(_fwd_call, 3)
+_BWD_CP = _make_batch_cp(_bwd_call, 5)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_blc(q, k, v, sm_scale: float, num_heads: int,
+                        interpret: bool = False):
+    """Multi-head softmax(q @ k^T * sm_scale) @ v on packed (B, L, H*D).
+
+    One head group's k/v rows must fit VMEM (L * 128 lanes * 2 bytes
+    each, plus a (block_q, L) fp32 score tile), which holds comfortably
+    for the tokenizer shapes (L <= 4096).  L must be a multiple of 128
+    and D a multiple of 8.
+    """
+    return _FWD_CP(q, k, v, sm_scale, num_heads, interpret)
+
+
+def _vjp_fwd(q, k, v, sm_scale, num_heads, interpret):
+    o = _FWD_CP(q, k, v, sm_scale, num_heads, interpret)
+    return o, (q, k, v, o)
+
+
+def _vjp_bwd(sm_scale, num_heads, interpret, res, do):
+    q, k, v, o = res
+    return _BWD_CP(q, k, v, o, do, sm_scale, num_heads, interpret)
+
+
+flash_attention_blc.defvjp(_vjp_fwd, _vjp_bwd)
