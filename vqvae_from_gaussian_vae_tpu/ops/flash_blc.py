@@ -44,14 +44,26 @@ __all__ = ["flash_attention_blc"]
 _TRANS_B = (((1,), (1,)), ((), ()))  # contract dim1 of both: x @ y^T
 
 
-def _heads_per_block(num_heads: int, head_dim: int) -> int:
-    # smallest head group whose lane width is a multiple of 128 (grid
-    # parallelism is worth more than per-invocation bulk here); fall back
-    # to the whole channel axis, which Pallas always accepts
-    for g in range(1, num_heads):
-        if num_heads % g == 0 and (g * head_dim) % 128 == 0:
-            return g
-    return num_heads
+def _heads_per_block(num_heads: int, head_dim: int, seq_len: int = 0,
+                     widest: bool = False) -> int:
+    """Head-group size: lane width must be a 128 multiple (or the whole
+    channel axis, which Pallas always accepts).
+
+    The forward wants the WIDEST group that keeps a k/v tile under ~2 MB —
+    the TPU has one tensor core, so grid granularity buys nothing and
+    bulkier invocations amortize fixed overhead (measured at the bsqvit
+    shape: hpb 2 -> 12 is 0.80 -> 0.75 ms).  The backward holds dk/dv
+    fp32 accumulators plus four (block_q, L) fp32 tiles, so it keeps the
+    narrowest group.
+    """
+    aligned = [g for g in range(1, num_heads + 1)
+               if num_heads % g == 0 and (g * head_dim) % 128 == 0]
+    if not aligned:
+        return num_heads
+    if not widest:
+        return aligned[0]
+    fitting = [g for g in aligned if g * head_dim * seq_len * 2 <= 2 * 1024 * 1024]
+    return fitting[-1] if fitting else aligned[0]
 
 
 def _pick_block_q(seq_len: int, budget_bytes: int) -> int:
@@ -134,9 +146,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
 def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
     b, l, c = q.shape
     d = c // num_heads
-    hpb = _heads_per_block(num_heads, d)
+    hpb = _heads_per_block(num_heads, d, l, widest=True)
     cg = hpb * d
-    block_q = _pick_block_q(l, 2 * 1024 * 1024)
+    # joint VMEM budget: double-buffered k/v + q/o tiles plus the fp32
+    # score and probability tiles must stay under the 16 MB scoped limit
+    # (with headroom for the compiler's own temporaries)
+    block_q = 128
+    for bq in (1024, 512, 256):
+        est = (4 * l * cg * 2) + (4 * bq * cg * 2) + (2 * bq * l * 4)
+        if l % bq == 0 and est <= 13 * 1024 * 1024:
+            block_q = bq
+            break
     grid = (b, num_heads // hpb, l // block_q)
 
     def q_map(bi, gi, qi):
