@@ -123,7 +123,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
     do = do_ref[0]
     o = o_ref[0]
     d = q.shape[-1] // heads
-    for h in range(heads):
+
+    def _probs_ds(h):
         sl = slice(h * d, (h + 1) * d)
         qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
         s = lax.dot_general(qh, kh, _TRANS_B,
@@ -132,26 +133,35 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
         m = jnp.max(s, axis=1)[:, None]
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=1)[:, None]
-
-        # x^T @ y via dimension numbers: the MXU takes the transposed
-        # operand natively; an explicit .T materialises a VPU shuffle
-        # (measured 4% slower end-to-end)
-        pb = p.astype(doh.dtype)
-        dv_scratch[:, sl] += lax.dot_general(
-            pb, doh, _TRANS_A, preferred_element_type=jnp.float32)
-
         dp = lax.dot_general(doh, vh, _TRANS_B,
                              preferred_element_type=jnp.float32)
         di = jnp.sum(doh.astype(jnp.float32) * o[:, sl].astype(jnp.float32),
                      axis=1)[:, None]
         ds = p * (dp - di) * sm_scale
-        dsb = ds.astype(qh.dtype)
+        return p.astype(doh.dtype), ds.astype(qh.dtype)
 
+    def _emit(h, pb, dsb):
+        # x^T @ y via dimension numbers: the MXU takes the transposed
+        # operand natively; an explicit .T materialises a VPU shuffle
+        # (measured 4% slower end-to-end)
+        sl = slice(h * d, (h + 1) * d)
+        dv_scratch[:, sl] += lax.dot_general(
+            pb, do[:, sl], _TRANS_A, preferred_element_type=jnp.float32)
         dk_scratch[:, sl] += lax.dot_general(
-            dsb, qh, _TRANS_A, preferred_element_type=jnp.float32)
+            dsb, q[:, sl], _TRANS_A, preferred_element_type=jnp.float32)
         dq_ref[0, :, sl] = lax.dot(
-            dsb, kh, preferred_element_type=jnp.float32
+            dsb, k[:, sl], preferred_element_type=jnp.float32
         ).astype(dq_ref.dtype)
+
+    # software-pipelined like the forward: head h+1's softmax/ds (VPU)
+    # overlaps head h's three gradient matmuls (MXU); measured 1.71 ->
+    # 1.61 ms at the bsqvit shape
+    prev = _probs_ds(0)
+    for h in range(1, heads):
+        cur = _probs_ds(h)
+        _emit(h - 1, *prev)
+        prev = cur
+    _emit(heads - 1, *prev)
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _flush():
@@ -209,12 +219,28 @@ def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
 def _bwd_call(q, k, v, o, do, sm_scale, num_heads, interpret):
     b, l, c = q.shape
     d = c // num_heads
-    hpb = _heads_per_block(num_heads, d)
+    # joint VMEM budget for the pipelined backward: fp32 dk/dv
+    # accumulators (2*L*cg*4) + ~5 live fp32 (block_q, L) tiles +
+    # double-buffered in/out tiles.  hpb=4/bq=256 measured fastest at the
+    # bsqvit shape (1.71 -> 1.61 ms) and the formula picks exactly that.
+    hpb, block_q = None, None
+    aligned = [g for g in range(1, num_heads + 1)
+               if num_heads % g == 0 and (g * d) % 128 == 0] or [num_heads]
+    for g in reversed(aligned):
+        for bq in (512, 256, 128):
+            if l % bq:
+                continue
+            # dominant VMEM terms: the fp32 dk/dv accumulators plus ~5
+            # live fp32 (block_q, L) score/gradient tiles
+            est = (2 * l * g * d * 4) + (5 * bq * l * 4)
+            if est <= 8 * 1024 * 1024:
+                hpb, block_q = g, bq
+                break
+        if hpb:
+            break
+    if hpb is None:
+        hpb, block_q = aligned[0], 128
     cg = hpb * d
-    # the backward holds ~4 fp32 (block_q, L) tiles live plus the
-    # (L, cg) fp32 dk/dv accumulators; bq=512 at L=1024 measured 15%
-    # faster than 256 (fewer, larger matmuls) and stays inside VMEM
-    block_q = _pick_block_q(l, 2 * 1024 * 1024)
     nq = l // block_q
     grid = (b, num_heads // hpb, nq)
 
