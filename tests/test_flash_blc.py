@@ -82,21 +82,28 @@ def test_fp32_forward():
     )
 
 
-def test_attention_module_routes_and_matches():
-    """MultiheadAttention's einsum fallback (flash=False) and its flash
-    gate agree on CPU: both trace, same params, same output."""
+def test_attention_module_flash_matches_einsum_fallback(monkeypatch):
+    """MultiheadAttention's flash path (interpret mode off-TPU via
+    GVQ_FLASH_INTERPRET) and its einsum fallback (flash=False) agree on
+    the same params."""
     from vqvae_from_gaussian_vae_tpu.models.vit import MultiheadAttention
 
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 256, 128))
-    mod = MultiheadAttention(d_model=128, n_head=2, flash=True)
-    params = mod.init(jax.random.PRNGKey(2), x)
-    out = mod.apply(params, x)
-    assert out.shape == x.shape
+    mod_flash = MultiheadAttention(d_model=128, n_head=2, flash=True)
+    mod_plain = MultiheadAttention(d_model=128, n_head=2, flash=False)
+    params = mod_flash.init(jax.random.PRNGKey(2), x)
     # param tree matches the nn.Dense layout the converters expect
     leaves = params["params"]
     assert set(leaves) == {"in_proj", "out_proj"}
     assert leaves["in_proj"]["kernel"].shape == (128, 384)
     assert leaves["out_proj"]["kernel"].shape == (128, 128)
+
+    monkeypatch.setenv("GVQ_FLASH_INTERPRET", "1")
+    out_flash = mod_flash.apply(params, x)
+    out_plain = mod_plain.apply(params, x)
+    assert out_flash.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_plain),
+                               atol=2e-5)
 
 
 def test_mesh_batch_sharding():

@@ -128,21 +128,28 @@ class MultiheadAttention(nn.Module):
         xc = x.astype(self.dtype)
         qkv = xc @ w_in["kernel"].astype(self.dtype) + w_in["bias"].astype(self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        _env = __import__("os").environ
+        # GVQ_FLASH_INTERPRET=1 runs the Pallas kernel in interpret mode
+        # off-TPU (tests compare it against the einsum fallback)
+        force_interp = (
+            _env.get("GVQ_FLASH_INTERPRET", "") == "1"
+            and jax.default_backend() != "tpu"
+        )
         use_flash = (
             self.flash
             and attn_mask is None
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or force_interp)
             and l % 128 == 0
             and 128 <= l <= 4096
             and hd % 8 == 0
-            and __import__("os").environ.get(
-                "GVQ_DISABLE_FUSED_KERNELS", "") != "1"
+            and _env.get("GVQ_DISABLE_FUSED_KERNELS", "") != "1"
         )
         if use_flash:
             from vqvae_from_gaussian_vae_tpu.ops.flash_blc import (
                 flash_attention_blc)
 
-            out = flash_attention_blc(q, k, v, hd ** -0.5, self.n_head)
+            out = flash_attention_blc(q, k, v, hd ** -0.5, self.n_head,
+                                      force_interp)
         else:
             qh = q.reshape(b, l, self.n_head, hd)
             kh = k.reshape(b, l, self.n_head, hd)

@@ -16,6 +16,13 @@ reused from the upstream module unchanged.
 
 Scope: the unmasked, non-causal, no-segment, no-bias case the image
 tokenizers use (models/vit.py routes masked calls through the einsum path).
+
+STATUS: retained as the head-major (B, H, L, D) variant for external
+callers and shapes outside ops/flash_blc.py's whole-L-in-VMEM regime
+(L > ~4 k).  The production ViT path (models/vit.py) now uses the
+layout-native packed kernel in ops/flash_blc.py, which eliminates the
+(B, L, C) <-> (B, H, L, D) copies entirely — see docs/kernels.md
+round 2d.
 """
 
 from __future__ import annotations

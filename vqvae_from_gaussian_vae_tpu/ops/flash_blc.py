@@ -45,34 +45,13 @@ _TRANS_B = (((1,), (1,)), ((), ()))  # contract dim1 of both: x @ y^T
 _TRANS_A = (((0,), (0,)), ((), ()))  # contract dim0 of both: x^T @ y
 
 
-def _heads_per_block(num_heads: int, head_dim: int, seq_len: int = 0,
-                     widest: bool = False) -> int:
-    """Head-group size: lane width must be a 128 multiple (or the whole
-    channel axis, which Pallas always accepts).
-
-    The forward wants the WIDEST group that keeps a k/v tile under ~2 MB —
-    the TPU has one tensor core, so grid granularity buys nothing and
-    bulkier invocations amortize fixed overhead (measured at the bsqvit
-    shape: hpb 2 -> 12 is 0.80 -> 0.75 ms).  The backward holds dk/dv
-    fp32 accumulators plus four (block_q, L) fp32 tiles, so it keeps the
-    narrowest group.
-    """
-    aligned = [g for g in range(1, num_heads + 1)
-               if num_heads % g == 0 and (g * head_dim) % 128 == 0]
-    if not aligned:
-        return num_heads
-    if not widest:
-        return aligned[0]
-    fitting = [g for g in aligned if g * head_dim * seq_len * 2 <= 2 * 1024 * 1024]
-    return fitting[-1] if fitting else aligned[0]
-
-
-def _pick_block_q(seq_len: int, budget_bytes: int) -> int:
-    # bound the (block_q, L) fp32 score/probability tiles
-    for bq in (1024, 512, 256, 128):
-        if bq * seq_len * 4 <= budget_bytes and seq_len % bq == 0:
-            return bq
-    return 128
+def _aligned_groups(num_heads: int, head_dim: int) -> list:
+    """Legal head-group sizes: the group's lane width must be a 128
+    multiple, or the group must span the whole channel axis (a block
+    equal to the array dim, which Pallas always accepts)."""
+    groups = [g for g in range(1, num_heads + 1)
+              if num_heads % g == 0 and (g * head_dim) % 128 == 0]
+    return groups or [num_heads]
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
@@ -172,20 +151,33 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
 def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
     b, l, c = q.shape
     d = c // num_heads
-    hpb = _heads_per_block(num_heads, d, l, widest=True)
-    cg = hpb * d
-    # joint VMEM budget: double-buffered k/v + q/o tiles plus the fp32
-    # score tiles (x3: the pipelined head loop keeps two probability
-    # tiles live) must stay under the 16 MB scoped limit with headroom
-    # for the compiler's own temporaries.  At the bsqvit shape this
-    # picks bq=256, which also measures fastest (two heads' tiles
-    # coexist in cache-friendly sizes).
-    block_q = 128
-    for bq in (1024, 512, 256):
-        est = (4 * l * cg * 2) + (4 * bq * cg * 2) + (3 * bq * l * 4)
-        if l % bq == 0 and est <= 13 * 1024 * 1024:
-            block_q = bq
+    esize = jnp.dtype(q.dtype).itemsize
+    # Joint (head group, block_q) search under a VMEM budget:
+    # double-buffered k/v + q/o tiles plus the fp32 score tiles (x3: the
+    # pipelined head loop keeps two probability tiles live) must stay
+    # under the 16 MB scoped limit with headroom for the compiler's own
+    # temporaries.  Prefer the widest group (one tensor core — grid
+    # granularity buys nothing, bulk amortizes overhead: hpb 2 -> 12
+    # measured 0.80 -> 0.75 ms at the bsqvit shape), then the largest
+    # block_q; at the bsqvit bf16 shape this picks hpb=12/bq=256, the
+    # fastest swept config (0.65 ms).
+    hpb, block_q = None, None
+    for g in reversed(_aligned_groups(num_heads, d)):
+        for bq in (1024, 512, 256, 128):
+            if l % bq:
+                continue
+            est = (4 * l * g * d * esize) + (4 * bq * g * d * esize) \
+                + (3 * bq * l * 4)
+            if est <= 13 * 1024 * 1024:
+                hpb, block_q = g, bq
+                break
+        if hpb:
             break
+    if hpb is None:
+        raise ValueError(
+            f"flash_attention_blc: no (head group, block_q) fits VMEM for "
+            f"L={l}, C={c}, dtype={q.dtype}; use the einsum path")
+    cg = hpb * d
     grid = (b, num_heads // hpb, l // block_q)
 
     def q_map(bi, gi, qi):
@@ -216,30 +208,50 @@ def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
     )(q, k, v)
 
 
+def _einsum_ref(q, k, v, sm_scale, num_heads):
+    b, l, c = q.shape
+    d = c // num_heads
+    qh = q.reshape(b, l, num_heads, d)
+    kh = k.reshape(b, l, num_heads, d)
+    vh = v.reshape(b, l, num_heads, d)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32) * sm_scale
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b, l, c)
+
+
+def _einsum_bwd(q, k, v, do, sm_scale, num_heads):
+    _, vjp = jax.vjp(
+        lambda q, k, v: _einsum_ref(q, k, v, sm_scale, num_heads), q, k, v)
+    return vjp(do)
+
+
 def _bwd_call(q, k, v, o, do, sm_scale, num_heads, interpret):
     b, l, c = q.shape
     d = c // num_heads
-    # joint VMEM budget for the pipelined backward: fp32 dk/dv
-    # accumulators (2*L*cg*4) + ~5 live fp32 (block_q, L) tiles +
-    # double-buffered in/out tiles.  hpb=4/bq=256 measured fastest at the
-    # bsqvit shape (1.71 -> 1.61 ms) and the formula picks exactly that.
+    esize = jnp.dtype(q.dtype).itemsize
+    # Joint VMEM search for the pipelined backward: fp32 dk/dv
+    # accumulators + ~5 live fp32 (block_q, L) score/gradient tiles +
+    # double-buffered k/v input tiles.  At the bsqvit bf16 shape this
+    # picks hpb=6/bq=256, the shipped config that benchmarked at pair
+    # 112.4 img/s in vivo (the standalone sweep's hpb=4/bq=256 measured
+    # the same within noise: 1.61 vs 1.63 ms).
     hpb, block_q = None, None
-    aligned = [g for g in range(1, num_heads + 1)
-               if num_heads % g == 0 and (g * d) % 128 == 0] or [num_heads]
-    for g in reversed(aligned):
-        for bq in (512, 256, 128):
+    for g in reversed(_aligned_groups(num_heads, d)):
+        for bq in (512, 256, 128, 64):
             if l % bq:
                 continue
-            # dominant VMEM terms: the fp32 dk/dv accumulators plus ~5
-            # live fp32 (block_q, L) score/gradient tiles
-            est = (2 * l * g * d * 4) + (5 * bq * l * 4)
-            if est <= 8 * 1024 * 1024:
+            est = (2 * l * g * d * 4) + (5 * bq * l * 4) \
+                + (4 * l * g * d * esize)
+            if est <= 11_500_000:
                 hpb, block_q = g, bq
                 break
         if hpb:
             break
     if hpb is None:
-        hpb, block_q = aligned[0], 128
+        # shapes whose whole-L k/v rows can't share VMEM with the score
+        # tiles (very long sequences): fall back to the XLA einsum VJP —
+        # numerically the same gradient, just without the kernel
+        return _einsum_bwd(q, k, v, do, sm_scale, num_heads)
     cg = hpb * d
     nq = l // block_q
     grid = (b, num_heads // hpb, nq)
