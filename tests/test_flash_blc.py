@@ -106,6 +106,26 @@ def test_attention_module_flash_matches_einsum_fallback(monkeypatch):
                                atol=2e-5)
 
 
+def test_unet_attnblock_flash_matches_einsum(monkeypatch):
+    """The UNet's single-head AttnBlock routes its bf16 SDPA through the
+    packed flash kernel (n_head=1); parity vs the einsum branch."""
+    from vqvae_from_gaussian_vae_tpu.models.unet import AttnBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 128),
+                          jnp.bfloat16)
+    mod = AttnBlock(in_channels=128, dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(4), x)
+
+    monkeypatch.setenv("GVQ_DISABLE_FUSED_KERNELS", "1")
+    ref = mod.apply(params, x)
+    monkeypatch.delenv("GVQ_DISABLE_FUSED_KERNELS")
+    monkeypatch.setenv("GVQ_FLASH_INTERPRET", "1")
+    out = mod.apply(params, x)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
+
+
 def test_mesh_batch_sharding():
     """On a data mesh the kernel shards over batch with no collectives and
     matches the single-device result bit-exactly (grads included)."""

@@ -82,15 +82,39 @@ def test_pack_unpack_roundtrip_and_schedule():
     assert ts[0] == 1.0 and ts[-1] == 0.0
     assert all(a > b for a, b in zip(ts[:-1], ts[1:]))
 
-    # rope application preserves norms per pair
-    q = jnp.asarray(rng.standard_normal((1, 2, 4, 8)), jnp.float32)
+    # rope application preserves norms per pair (q/k are token-major
+    # (B, L, H, D); pe broadcasts over the head axis)
+    q = jnp.asarray(rng.standard_normal((1, 4, 2, 8)), jnp.float32)
     ids = F.make_img_ids(8, 2, 1)  # 4 tokens
     pe = F.embed_nd(ids, (4, 2, 2), 10000)
+    assert pe[0].shape == (1, 4, 1, 4)
     q2, _ = F.apply_rope(q, q, pe)
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(q2), axis=-1),
         np.linalg.norm(np.asarray(q), axis=-1),
         rtol=1e-5,
+    )
+
+
+def test_flux_attention_flash_matches_einsum(monkeypatch):
+    """The packed flash route of F.attention (bf16, L%128==0) agrees with
+    the einsum SDPA path on the same (B, L, H, D) inputs + RoPE."""
+    b, l, h, d = 2, 128, 4, 16
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.bfloat16)
+    ids = F.make_img_ids(32, 16, b)  # (32/2)*(16/2) = 128 tokens
+    pe = F.embed_nd(ids, (4, 6, 6), 10000)
+
+    monkeypatch.setenv("GVQ_DISABLE_FUSED_KERNELS", "1")
+    ref = F.attention(q, k, v, pe)
+    monkeypatch.delenv("GVQ_DISABLE_FUSED_KERNELS")
+    monkeypatch.setenv("GVQ_FLASH_INTERPRET", "1")
+    out = F.attention(q, k, v, pe)
+    assert out.shape == ref.shape == (b, l, h * d)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
 
 

@@ -74,20 +74,21 @@ def rope_cos_sin(pos, dim: int, theta: int):
 
 
 def embed_nd(ids, axes_dim: Sequence[int], theta: int):
-    """ids (B, L, n_axes) -> (cos, sin) each (B, 1, L, sum(axes)/2)
-    (`modules/layers.py:11-25`)."""
+    """ids (B, L, n_axes) -> (cos, sin) each (B, L, 1, sum(axes)/2),
+    broadcasting over the head axis of the (B, L, H, D) q/k layout
+    (`modules/layers.py:11-25` builds the head-major equivalent)."""
     coss, sins = [], []
     for i, d in enumerate(axes_dim):
         c, s = rope_cos_sin(ids[..., i], d, theta)
         coss.append(c)
         sins.append(s)
-    cos = jnp.concatenate(coss, axis=-1)[:, None]
-    sin = jnp.concatenate(sins, axis=-1)[:, None]
+    cos = jnp.concatenate(coss, axis=-1)[:, :, None]
+    sin = jnp.concatenate(sins, axis=-1)[:, :, None]
     return cos, sin
 
 
 def apply_rope(q, k, pe):
-    """q, k: (B, H, L, D); pe = (cos, sin) with D/2 entries (`math.py:25-30`)."""
+    """q, k: (B, L, H, D); pe = (cos, sin) with D/2 entries (`math.py:25-30`)."""
     cos, sin = pe
 
     def rot(x):
@@ -102,14 +103,21 @@ def apply_rope(q, k, pe):
 
 
 def attention(q, k, v, pe):
-    """RoPE + SDPA, fp32 softmax (`math.py:6-12`)."""
+    """RoPE + SDPA over token-major (B, L, H, D), fp32 softmax
+    (`math.py:6-12`).
+
+    The bf16 TPU path routes through the layout-native packed flash
+    kernel (ops/flash_blc.py): (B, L, H, D) reshapes freely to the
+    kernel's (B, L, H*D), so neither the head-major transpose nor the
+    fp32 (B, H, L, L) probability tensor of the reference's SDPA ever
+    materialises (at flux-dev's 24 heads and L=768+ that tensor is
+    >170 MB per block).  fp32 inputs keep the exact einsum path (the
+    Pallas fp32 dot lowers to fewer bf16 passes than XLA's
+    excess-precision fp32 — same boundary as the resample kernels)."""
+    from vqvae_from_gaussian_vae_tpu.ops.flash_blc import sdpa_token_major
+
     qf, kf = apply_rope(q, k, pe)
-    hd = q.shape[-1]
-    attn = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * (hd**-0.5)
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-    b, h, l, d = out.shape
-    return out.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+    return sdpa_token_major(qf, kf, v)
 
 
 class MLPEmbedder(nn.Module):
@@ -211,8 +219,10 @@ class DoubleStreamBlock(nn.Module):
                 mod = mod + LoRADelta(3 * self.hidden_size, self.lora_rank,
                                       self.dtype, name=f"{prefix}_qkv_lora")(x)
             b, l, _ = mod.shape
-            mod = mod.reshape(b, l, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
-            q, k, v = mod[0], mod[1], mod[2]
+            # token-major (B, L, H, D): a slice+reshape XLA fuses away,
+            # where the reference's head-major split is a real transpose
+            mod = mod.reshape(b, l, 3, self.num_heads, hd)
+            q, k, v = mod[:, :, 0], mod[:, :, 1], mod[:, :, 2]
             q, k = QKNorm(hd, name=f"{prefix}_attn_norm")(q, k, v)
             return q, k, v
 
@@ -220,9 +230,9 @@ class DoubleStreamBlock(nn.Module):
         txt_m = (1 + t_sc1) * _ln(txt) + t_sh1
         iq, ik, iv = qkv_split(img_m, "img")
         tq, tk, tv = qkv_split(txt_m, "txt")
-        q = jnp.concatenate([tq, iq], axis=2)
-        k = jnp.concatenate([tk, ik], axis=2)
-        v = jnp.concatenate([tv, iv], axis=2)
+        q = jnp.concatenate([tq, iq], axis=1)
+        k = jnp.concatenate([tk, ik], axis=1)
+        v = jnp.concatenate([tv, iv], axis=1)
         out = attention(q, k, v, pe)
         t_len = txt.shape[1]
         txt_attn, img_attn = out[:, :t_len], out[:, t_len:]
@@ -272,8 +282,8 @@ class SingleStreamBlock(nn.Module):
             qkv = qkv + LoRADelta(3 * self.hidden_size, self.lora_rank, self.dtype,
                                   name="qkv_lora")(x_mod)
         b, l, _ = qkv.shape
-        qkv = qkv.reshape(b, l, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        qkv = qkv.reshape(b, l, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q, k = QKNorm(hd, name="norm")(q, k, v)
         attn_out = attention(q, k, v, pe)
         cat = jnp.concatenate([attn_out, jax.nn.gelu(mlp, approximate=True)], axis=-1)

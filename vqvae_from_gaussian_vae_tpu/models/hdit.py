@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vqvae_from_gaussian_vae_tpu.ops.flash_blc import sdpa_token_major
+
 
 class FourierFeatures(nn.Module):
     features: int = 256
@@ -49,10 +51,11 @@ class AdaLN(nn.Module):
 def _axial_rope(q, k, grid: Tuple[int, int]):
     """Rotary position embedding applied separately along H and W axes.
 
-    q, k: (B, heads, L, hd) with L = H*W; the first half of head dims rotates
-    with the row coordinate, the second half with the column coordinate.
+    q, k: token-major (B, L, heads, hd) with L = H*W; the first half of
+    head dims rotates with the row coordinate, the second half with the
+    column coordinate.
     """
-    b, h, l, hd = q.shape
+    b, l, h, hd = q.shape
     gh, gw = grid
     half = hd // 2
     quarter = half // 2
@@ -61,7 +64,7 @@ def _axial_rope(q, k, grid: Tuple[int, int]):
         # rotate feature pairs [dim_start : dim_start+2n) by pos*theta
         idx = jnp.arange(n)
         theta = 10000.0 ** (-idx / max(n, 1))
-        ang = pos[:, None] * theta[None, :]  # (L, n)
+        ang = pos[:, None, None] * theta[None, None, :]  # (L, 1, n)
         cos, sin = jnp.cos(ang), jnp.sin(ang)
         x1 = x[..., dim_start : dim_start + n]
         x2 = x[..., dim_start + n : dim_start + 2 * n]
@@ -98,7 +101,9 @@ class HDiTBlock(nn.Module):
         hd = c // self.heads
 
         def heads_split(t):
-            return t.reshape(b, l, self.heads, hd).transpose(0, 2, 1, 3)
+            # token-major (B, L, heads, hd): a free reshape, and the SDPA
+            # below can consume the packed layout directly
+            return t.reshape(b, l, self.heads, hd)
 
         q, k, v = map(heads_split, (q, k, v))
         q, k = _axial_rope(q, k, grid)
@@ -108,29 +113,24 @@ class HDiTBlock(nn.Module):
             s = w // 2 if self.shift else 0
 
             def to_windows(t):
-                t = t.reshape(b, self.heads, gh, gw, hd)
+                t = t.reshape(b, gh, gw, self.heads, hd)
                 if s:
-                    t = jnp.roll(t, (-s, -s), axis=(2, 3))
-                t = t.reshape(b, self.heads, gh // w, w, gw // w, w, hd)
-                return t.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
-                    b * (gh // w) * (gw // w), self.heads, w * w, hd
+                    t = jnp.roll(t, (-s, -s), axis=(1, 2))
+                t = t.reshape(b, gh // w, w, gw // w, w, self.heads, hd)
+                return t.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+                    b * (gh // w) * (gw // w), w * w, self.heads, hd
                 )
 
             qw, kw, vw = map(to_windows, (q, k, v))
-            attn = jnp.einsum("bhqd,bhkd->bhqk", qw, kw).astype(jnp.float32) * (hd**-0.5)
-            attn = jax.nn.softmax(attn, axis=-1).astype(vw.dtype)
-            ow = jnp.einsum("bhqk,bhkd->bhqd", attn, vw)
-            ow = ow.reshape(b, gh // w, gw // w, self.heads, w, w, hd)
-            ow = ow.transpose(0, 3, 1, 4, 2, 5, 6).reshape(b, self.heads, gh, gw, hd)
+            ow = sdpa_token_major(qw, kw, vw)  # (b*nw, w*w, c)
+            ow = ow.reshape(b, gh // w, gw // w, w, w, c)
+            ow = ow.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh, gw, c)
             if s:
-                ow = jnp.roll(ow, (s, s), axis=(2, 3))
-            out = ow.reshape(b, self.heads, l, hd)
+                ow = jnp.roll(ow, (s, s), axis=(1, 2))
+            out = ow.reshape(b, l, c)
         else:
-            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (hd**-0.5)
-            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            out = sdpa_token_major(q, k, v)
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, c)
         x = x + nn.Dense(c, use_bias=False, dtype=self.dtype,
                          kernel_init=nn.initializers.zeros, name="attn_out")(out)
 
@@ -244,10 +244,13 @@ def create_hdit_model(
     heads: Optional[Sequence[int]] = None,
     windows: Sequence[int] = (8, 0),
     mapping_width: int = 256,
+    dtype: Any = jnp.float32,
     **_,
 ) -> ImageTransformerDenoiserModelV2:
     """(`hdit.py:919` analog) config-friendly factory."""
     heads = heads or tuple(max(1, w // 64) for w in widths)
+    if isinstance(dtype, str):
+        dtype = jnp.dtype(dtype)
     return ImageTransformerDenoiserModelV2(
         in_channels=in_channels,
         out_channels=out_channels,
@@ -257,4 +260,5 @@ def create_hdit_model(
         heads=tuple(heads),
         windows=tuple(windows),
         mapping_width=mapping_width,
+        dtype=dtype,
     )

@@ -339,7 +339,11 @@ class AttnBlock(nn.Module):
     """Single-head self-attention over the spatial grid (unet.py:166-206).
 
     q/k/v/proj are 1x1 convs; softmax runs in fp32 with the torch SDPA
-    default scale (c^-0.5).
+    default scale (c^-0.5).  The bf16 TPU path routes the SDPA through the
+    packed flash kernel (ops/flash_blc.py, n_head=1 — c=512 is a full MXU
+    contraction), which keeps the fp32 (B, L, L) score tensor in VMEM
+    instead of HBM (67 MB per block at the headline bs=16, 32x32 shape);
+    fp32 keeps the exact einsum path for reference parity.
     """
 
     in_channels: int
@@ -352,12 +356,12 @@ class AttnBlock(nn.Module):
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h)
-        q = q.reshape(b, hh * ww, c)
-        k = k.reshape(b, hh * ww, c)
-        v = v.reshape(b, hh * ww, c)
-        attn = jnp.einsum("bqc,bkc->bqk", q, k).astype(jnp.float32) * (c ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        h = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, hh, ww, c)
+        from vqvae_from_gaussian_vae_tpu.ops.flash_blc import sdpa_token_major
+
+        l = hh * ww
+        h = sdpa_token_major(
+            q.reshape(b, l, 1, c), k.reshape(b, l, 1, c),
+            v.reshape(b, l, 1, c), c ** -0.5).reshape(b, hh, ww, c)
         h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return x + h
 

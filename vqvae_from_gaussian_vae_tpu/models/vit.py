@@ -135,19 +135,17 @@ class MultiheadAttention(nn.Module):
             _env.get("GVQ_FLASH_INTERPRET", "") == "1"
             and jax.default_backend() != "tpu"
         )
+        from vqvae_from_gaussian_vae_tpu.ops.flash_blc import (
+            flash_attention_blc, flash_blc_supported)
+
         use_flash = (
             self.flash
             and attn_mask is None
             and (jax.default_backend() == "tpu" or force_interp)
-            and l % 128 == 0
-            and 128 <= l <= 4096
-            and hd % 8 == 0
+            and flash_blc_supported(l, self.n_head, hd, q.dtype)
             and _env.get("GVQ_DISABLE_FUSED_KERNELS", "") != "1"
         )
         if use_flash:
-            from vqvae_from_gaussian_vae_tpu.ops.flash_blc import (
-                flash_attention_blc)
-
             out = flash_attention_blc(q, k, v, hd ** -0.5, self.n_head,
                                       force_interp)
         else:

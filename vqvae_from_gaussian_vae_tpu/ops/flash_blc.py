@@ -39,7 +39,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vqvae_from_gaussian_vae_tpu.ops.partition import batch_axis_of
 
-__all__ = ["flash_attention_blc"]
+__all__ = ["flash_attention_blc", "flash_blc_supported", "sdpa_token_major"]
 
 _TRANS_B = (((1,), (1,)), ((), ()))  # contract dim1 of both: x @ y^T
 _TRANS_A = (((0,), (0,)), ((), ()))  # contract dim0 of both: x^T @ y
@@ -52,6 +52,77 @@ def _aligned_groups(num_heads: int, head_dim: int) -> list:
     groups = [g for g in range(1, num_heads + 1)
               if num_heads % g == 0 and (g * head_dim) % 128 == 0]
     return groups or [num_heads]
+
+
+def _fwd_tiling(l: int, num_heads: int, head_dim: int, esize: int):
+    """Joint (head group, block_q) search under a VMEM budget:
+    double-buffered k/v + q/o tiles plus the fp32 score tiles (x3: the
+    pipelined head loop keeps two probability tiles live) must stay
+    under the 16 MB scoped limit with headroom for the compiler's own
+    temporaries.  Prefer the widest group (one tensor core — grid
+    granularity buys nothing, bulk amortizes overhead: hpb 2 -> 12
+    measured 0.80 -> 0.75 ms at the bsqvit shape), then the largest
+    block_q; at the bsqvit bf16 shape this picks hpb=12/bq=256, the
+    fastest swept config (0.65 ms).  Returns (hpb, block_q) or None."""
+    for g in reversed(_aligned_groups(num_heads, head_dim)):
+        for bq in (1024, 512, 256, 128):
+            if l % bq:
+                continue
+            est = (4 * l * g * head_dim * esize) \
+                + (4 * bq * g * head_dim * esize) + (3 * bq * l * 4)
+            if est <= 13 * 1024 * 1024:
+                return g, bq
+    return None
+
+
+def flash_blc_supported(l: int, num_heads: int, head_dim: int, dtype) -> bool:
+    """True when the forward kernel has a legal tiling for this shape:
+    L a 128 multiple, D a multiple of 8, and one head group's k/v rows
+    + a (block_q, L) fp32 score tile fitting VMEM.  Model code gates on
+    this instead of hand-copied magic bounds (the einsum fallback serves
+    everything else)."""
+    if l % 128 or l == 0 or head_dim % 8:
+        return False
+    return _fwd_tiling(l, num_heads, head_dim,
+                       jnp.dtype(dtype).itemsize) is not None
+
+
+def sdpa_token_major(q, k, v, sm_scale: float = None):
+    """softmax(q k^T * sm_scale) v over token-major (B, L, H, D) inputs,
+    returning (B, L, H*D).
+
+    The shared front door for every unmasked self-attention in the model
+    zoo (flux MMDiT, hdit, the UNet's single-head AttnBlock): on TPU with
+    bf16 values and a legal tiling it routes through the packed flash
+    kernel — (B, L, H, D) reshapes freely to the kernel's (B, L, H*D),
+    so no head-major transpose and no HBM (B, H, L, L) score tensor —
+    and otherwise falls back to an einsum SDPA with fp32 softmax (also
+    the exact-parity path for fp32 models).  GVQ_DISABLE_FUSED_KERNELS=1
+    forces the fallback; GVQ_FLASH_INTERPRET=1 runs the kernel in
+    interpret mode off-TPU for parity tests.
+    """
+    import os
+
+    b, l, h, d = q.shape
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    env = os.environ
+    force_interp = (env.get("GVQ_FLASH_INTERPRET", "") == "1"
+                    and jax.default_backend() != "tpu")
+    if (
+        v.dtype == jnp.bfloat16
+        and (jax.default_backend() == "tpu" or force_interp)
+        and flash_blc_supported(l, h, d, v.dtype)
+        and env.get("GVQ_DISABLE_FUSED_KERNELS", "") != "1"
+    ):
+        return flash_attention_blc(
+            q.astype(v.dtype).reshape(b, l, h * d),
+            k.astype(v.dtype).reshape(b, l, h * d),
+            v.reshape(b, l, h * d), sm_scale, h, force_interp)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * sm_scale
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+    return out.reshape(b, l, h * d)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
@@ -151,32 +222,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
 def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
     b, l, c = q.shape
     d = c // num_heads
-    esize = jnp.dtype(q.dtype).itemsize
-    # Joint (head group, block_q) search under a VMEM budget:
-    # double-buffered k/v + q/o tiles plus the fp32 score tiles (x3: the
-    # pipelined head loop keeps two probability tiles live) must stay
-    # under the 16 MB scoped limit with headroom for the compiler's own
-    # temporaries.  Prefer the widest group (one tensor core — grid
-    # granularity buys nothing, bulk amortizes overhead: hpb 2 -> 12
-    # measured 0.80 -> 0.75 ms at the bsqvit shape), then the largest
-    # block_q; at the bsqvit bf16 shape this picks hpb=12/bq=256, the
-    # fastest swept config (0.65 ms).
-    hpb, block_q = None, None
-    for g in reversed(_aligned_groups(num_heads, d)):
-        for bq in (1024, 512, 256, 128):
-            if l % bq:
-                continue
-            est = (4 * l * g * d * esize) + (4 * bq * g * d * esize) \
-                + (3 * bq * l * 4)
-            if est <= 13 * 1024 * 1024:
-                hpb, block_q = g, bq
-                break
-        if hpb:
-            break
-    if hpb is None:
+    tiling = _fwd_tiling(l, num_heads, d, jnp.dtype(q.dtype).itemsize)
+    if tiling is None:
         raise ValueError(
             f"flash_attention_blc: no (head group, block_q) fits VMEM for "
             f"L={l}, C={c}, dtype={q.dtype}; use the einsum path")
+    hpb, block_q = tiling
     cg = hpb * d
     grid = (b, num_heads // hpb, l // block_q)
 

@@ -121,6 +121,21 @@ def vit_decoder_flops(cfg: Dict) -> float:
     return _vit_trunk_flops(cfg) + heads
 
 
+def flux_mmdit_flops(l_img: int, l_txt: int, hidden: int,
+                     depth: int, depth_single: int,
+                     mlp_ratio: float = 4.0) -> float:
+    """One Flux forward (models/flux.py; reference
+    `pit/modules/flux/model.py:27`).  Per block — double or single, the
+    totals coincide — tokens L get a 3h qkv projection, 2 L^2-by-h
+    attention matmuls, an h-by-h output projection, and an
+    h<->mlp_ratio*h MLP: 2Lh^2(4 + 2*mlp_ratio) + 4L^2h.  Embedders,
+    modulations and the final layer are O(h^2) or O(Lh) and ignored."""
+    l = l_img + l_txt
+    per_block = 2.0 * l * hidden * hidden * (4 + 2 * mlp_ratio) \
+        + 4.0 * l * l * hidden
+    return (depth + depth_single) * per_block
+
+
 def gq_search_flops(rows: int, group: int, n_samples: int) -> float:
     """One (R, 2G) x (2G, N) matmul (ops/gq_search.py)."""
     return 2.0 * rows * 2 * group * n_samples
