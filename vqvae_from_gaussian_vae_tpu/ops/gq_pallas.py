@@ -26,17 +26,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(n_total: int, block_n: int, a_ref, b_ref, val_ref, idx_ref):
+def _kernel(n_total: int, block_n: int, sub_n: int, masked: bool,
+            a_ref, b_ref, val_ref, idx_ref):
     j = pl.program_id(1)
+    a = a_ref[:]
+    nsub = block_n // sub_n
 
-    s = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
-    # mask padded codebook columns (when N is not a multiple of block_n)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_n
-    s = jnp.where(col < n_total, s, -jnp.inf)
+    def _dot(p):
+        return jnp.dot(a, b_ref[:, p * sub_n:(p + 1) * sub_n],
+                       preferred_element_type=jnp.float32)
 
-    local_arg = jnp.argmax(s, axis=1)  # first max within the tile
-    local_val = jnp.max(s, axis=1)
-    local_idx = local_arg.astype(jnp.int32) + j * block_n
+    def _local(p, s):
+        if masked:
+            # padded codebook columns (N not a multiple of block_n) must
+            # never win; skipped entirely on exact grids — the per-element
+            # compare+select costs as much as the max reduce itself
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + j * block_n + p * sub_n)
+            s = jnp.where(col < n_total, s, -jnp.inf)
+        local_arg = jnp.argmax(s, axis=1)  # first max within the tile
+        local_val = jnp.max(s, axis=1)
+        return local_val, local_arg.astype(jnp.int32) + j * block_n + p * sub_n
+
+    # software-pipeline the sub-tiles: issue sub-tile p+1's MXU dot before
+    # sub-tile p's VPU max/argmax, keeping the per-subtile results in
+    # registers (no val_ref round-trips inside the loop) and merging once
+    # per grid step
+    locs = []
+    prev = _dot(0)
+    for p in range(1, nsub):
+        cur = _dot(p)
+        locs.append(_local(p - 1, prev))
+        prev = cur
+    locs.append(_local(nsub - 1, prev))
+    local_val, local_idx = locs[0]
+    for v2, i2 in locs[1:]:
+        better = v2 > local_val  # strict: earlier sub-tile wins ties
+        local_val = jnp.where(better, v2, local_val)
+        local_idx = jnp.where(better, i2, local_idx)
 
     @pl.when(j == 0)
     def _():
@@ -51,18 +78,19 @@ def _kernel(n_total: int, block_n: int, a_ref, b_ref, val_ref, idx_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_r", "block_n", "interpret")
+    jax.jit, static_argnames=("block_r", "block_n", "sub_n", "interpret")
 )
 def gq_argmax_pallas(
     a: jax.Array,
     b: jax.Array,
     block_r: int = 512,
     block_n: int = 8192,
+    sub_n: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
-    # defaults from a v5e sweep at the production shape (16384 x 65536 x
-    # group 16): (512, 8192) = 3.1 ms vs 4.4 ms at (256, 2048); see
-    # scripts/tune_gq_kernel.py
+    # (block_r, block_n) from a v5e sweep at the production shape
+    # (16384 x 65536 x group 16); sub_n is the software-pipeline tile —
+    # see scripts/tune_gq_kernel.py
     """argmax_n (A @ B)[r, n] -> (R,) int32, without materialising A @ B.
 
     a: (R, K) float32, b: (K, N) float32.  K is small (2*group, e.g. 32).
@@ -71,6 +99,9 @@ def gq_argmax_pallas(
     n = b.shape[1]
     block_r = min(block_r, max(8, ((r + 7) // 8) * 8))
     block_n = min(block_n, max(128, ((n + 127) // 128) * 128))
+    sub_n = min(sub_n, block_n)
+    if block_n % sub_n:
+        sub_n = block_n
     r_pad = ((r + block_r - 1) // block_r) * block_r
     n_pad = ((n + block_n - 1) // block_n) * block_n
     if r_pad != r:
@@ -80,7 +111,7 @@ def gq_argmax_pallas(
 
     grid = (r_pad // block_r, n_pad // block_n)
     val, idx = pl.pallas_call(
-        functools.partial(_kernel, n, block_n),
+        functools.partial(_kernel, n, block_n, sub_n, n_pad != n),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_r, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
