@@ -17,21 +17,26 @@ a, b = jax.device_put(a), jax.device_put(b)
 
 ref = None
 results = []
-for br, bn in itertools.product((128, 256, 512, 1024), (1024, 2048, 4096, 8192)):
+for br, bn, sn in itertools.product((128, 256, 512, 1024),
+                                    (2048, 4096, 8192),
+                                    (2048, 4096, 8192)):
+    if sn > bn:
+        continue
     try:
-        f = jax.jit(lambda a, b: gq_argmax_pallas(a, b, block_r=br, block_n=bn))
+        f = jax.jit(lambda a, b: gq_argmax_pallas(a, b, block_r=br,
+                                                  block_n=bn, sub_n=sn))
         idx = np.asarray(f(a, b))
         if ref is None: ref = idx
-        assert (idx == ref).all(), (br, bn, "mismatch")
+        assert (idx == ref).all(), (br, bn, sn, "mismatch")
         t0 = time.perf_counter()
         acc = None
         for i in range(20):
             acc = f(a, b)
         _ = np.asarray(acc)[:1]
         dt = (time.perf_counter()-t0)/20
-        results.append((dt, br, bn))
-        print(f"block_r={br:5d} block_n={bn:5d}: {dt*1e3:7.2f} ms  ({2*R*2*G*N/dt/1e12:.1f} TF/s-eq)")
+        results.append((dt, br, bn, sn))
+        print(f"block_r={br:5d} block_n={bn:5d} sub_n={sn:5d}: {dt*1e3:7.2f} ms  ({2*R*2*G*N/dt/1e12:.1f} TF/s-eq)")
     except Exception as e:
-        print(f"block_r={br} block_n={bn}: FAILED {type(e).__name__} {str(e)[:80]}")
+        print(f"block_r={br} block_n={bn} sub_n={sn}: FAILED {type(e).__name__} {str(e)[:80]}")
 results.sort()
 print("BEST:", results[0])

@@ -98,6 +98,36 @@ def test_reconstruct_and_concurrent_batching(server):
         assert Image.open(io.BytesIO(body)).size == (32, 32)
 
 
+def test_batch_buckets():
+    b = serve_mod.TokenizerService._bucket
+    assert [b(n, 8) for n in (1, 2, 3, 4, 5, 8)] == [1, 2, 4, 4, 8, 8]
+    # a drain larger than max_batch (bounded by the queue, but defensive)
+    assert b(9, 8) == 9
+
+
+def test_padded_batch_matches_solo(server):
+    """An odd-sized concurrent drain pads to the next bucket; each reply
+    must still be that request's own tokens (identical to a solo call)."""
+    png = _png_bytes(11)
+
+    def tok(out, i):
+        req = urllib.request.Request(f"{server}/tokenize", data=png,
+                                     headers={"Content-Type": "image/png"})
+        with urllib.request.urlopen(req) as r:
+            out[i] = json.loads(r.read())
+
+    solo = {}
+    tok(solo, 0)
+    out = {}
+    threads = [threading.Thread(target=tok, args=(out, i)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(3):
+        assert out[i]["indices"] == solo[0]["indices"]
+
+
 def test_error_paths(server):
     # malformed image
     req = urllib.request.Request(f"{server}/tokenize", data=b"not an image")
