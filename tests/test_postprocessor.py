@@ -65,6 +65,39 @@ def test_hdit_shapes_and_time_conditioning():
     np.testing.assert_allclose(np.asarray(v1), 0.0, atol=1e-7)
 
 
+def test_hdit_flash_matches_einsum(monkeypatch):
+    """HDiTBlock's token-major SDPA routes through the packed flash kernel
+    on the bf16 path — parity vs the einsum fallback for both the
+    shifted-window branch (window 16 -> 256-token windows) and the global
+    bottleneck branch."""
+    from vqvae_from_gaussian_vae_tpu.models.hdit import HDiTBlock
+
+    rng = np.random.default_rng(3)
+    for window, grid in ((16, (32, 32)), (0, (16, 8))):
+        l = grid[0] * grid[1]
+        blk = HDiTBlock(width=128, heads=2, window=window, shift=bool(window),
+                        dtype=jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((1, l, 128)), jnp.bfloat16)
+        cond = jnp.asarray(rng.standard_normal((1, 32)), jnp.float32)
+        params = blk.init(jax.random.PRNGKey(0), x, cond, grid)["params"]
+        # attn_out is zero-init (AdaLN residual convention); randomise it so
+        # the attention contribution actually reaches the output
+        params = jax.tree.map(lambda p: p, params)
+        params["attn_out"]["kernel"] = jnp.asarray(
+            rng.standard_normal(params["attn_out"]["kernel"].shape) * 0.1,
+            jnp.float32)
+
+        monkeypatch.setenv("GVQ_DISABLE_FUSED_KERNELS", "1")
+        ref = blk.apply({"params": params}, x, cond, grid)
+        monkeypatch.delenv("GVQ_DISABLE_FUSED_KERNELS")
+        monkeypatch.setenv("GVQ_FLASH_INTERPRET", "1")
+        out = blk.apply({"params": params}, x, cond, grid)
+        monkeypatch.delenv("GVQ_FLASH_INTERPRET")
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32), atol=3e-2)
+
+
 def test_post_engine_train_and_sample():
     eng = _post_engine()
     rng = np.random.default_rng(1)
