@@ -116,3 +116,69 @@ def tensor_parallel_params(mesh: Mesh, params, min_size: int = 2**16):
         return jax.device_put(x, replicated(mesh))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+# Megatron-style column/row pairing for the FLUX MMDiT blocks
+# (models/flux.py).  The column matmul's output stays model-sharded through
+# the elementwise nonlinearity and the row matmul contracts the sharded dim,
+# so each (column, row) pair costs ONE all-reduce; GSPMD inserts it.  The
+# reference has no TP at all (SURVEY.md 2.2 — its models fit one GPU), but
+# flux-dev's 12B params exceed a single v5e's HBM, so the flux stack is the
+# one model family that genuinely needs the `model` axis: these rules split
+# every large block kernel 1/tp per chip.
+FLUX_COLUMN_PARALLEL = (
+    "attn_qkv", "linear1", "mlp_0",
+    # AdaLN modulation matmuls (hidden -> 6*hidden per double block): their
+    # outputs are per-sample vectors, so column-sharding them is free of
+    # activation comm but moves ~28% of flux-dev's params off the
+    # replicated set (8.6B -> 11.6B split of 11.9B)
+    "mod/lin", "modulation/lin", "adaLN_modulation_1",
+)
+FLUX_ROW_PARALLEL = ("attn_proj", "linear2", "mlp_2")
+
+
+def megatron_params(
+    mesh: Mesh,
+    params,
+    column: Sequence[str] = FLUX_COLUMN_PARALLEL,
+    row: Sequence[str] = FLUX_ROW_PARALLEL,
+):
+    """Column/row-shard transformer-block Dense kernels over ``model``.
+
+    ``column``/``row`` are module-path suffixes (matched against the
+    '/'-joined param path minus the leaf): a Dense whose path ends with a
+    column suffix gets kernel P(None, model) + bias P(model);
+    a row match gets kernel P(model, None) + replicated bias (the partial
+    sums are all-reduced before the bias add).  Anything else — norms,
+    modulation, embedders, LoRA deltas — is replicated.  Kernels whose
+    shapes don't divide the axis fall back to replication rather than fail.
+
+    Note the packed-qkv layout ([q|k|v] major) means GSPMD re-gathers the
+    qkv activation at the head reshape, so attention FLOPs stay data-
+    parallel; the matmul FLOPs and all block parameters (the HBM constraint
+    that motivates TP here) are split 1/tp.  Head-sharded attention would
+    need a heads-major qkv re-layout — documented in docs/kernels.md.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+    if tp <= 1:
+        return replicate(mesh, params)
+
+    def place(path, x):
+        names = [p.key for p in path if hasattr(p, "key")]
+        parent = "/".join(names[:-1])
+        leaf = names[-1] if names else ""
+
+        def put(spec):
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        if any(parent.endswith(c) for c in column):
+            if leaf == "kernel" and x.ndim == 2 and x.shape[1] % tp == 0:
+                return put(P(None, MODEL_AXIS))
+            if leaf == "bias" and x.shape[-1] % tp == 0:
+                return put(P(MODEL_AXIS))
+        if any(parent.endswith(r) for r in row):
+            if leaf == "kernel" and x.ndim == 2 and x.shape[0] % tp == 0:
+                return put(P(MODEL_AXIS, None))
+        return put(P())
+
+    return jax.tree_util.tree_map_with_path(place, params)
