@@ -2,7 +2,7 @@
 
 The second flagship backbone's bench (the headline bench.py covers
 sd3unet).  BF16=1 enables bf16 compute in both transformers.  Measured
-v5e bs=16 bf16: 284.9 img/s (56.2 ms) with the layout-native packed flash
+v5e bs=16 bf16: 294.0 img/s (54.4 ms) with the layout-native packed flash
 kernel + tanh-GELU (docs/kernels.md round 2d); the head-major flash path
 ran 189 img/s, and the einsum-softmax attention (full fp32 (B, H, L, L)
 probability tensor, 805 MB/block) 130 img/s.
