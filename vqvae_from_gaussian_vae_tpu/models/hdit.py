@@ -70,9 +70,12 @@ def _axial_rope(q, k, grid: Tuple[int, int]):
         x2 = x[..., dim_start + n : dim_start + 2 * n]
         out1 = x1 * cos - x2 * sin
         out2 = x1 * sin + x2 * cos
-        return x.at[..., dim_start : dim_start + n].set(out1).at[
-            ..., dim_start + n : dim_start + 2 * n
-        ].set(out2)
+        # rotation math runs fp32 (cos/sin above); cast back so the
+        # scatter into a bf16 x stays same-dtype (fp32->bf16 scatter is a
+        # FutureWarning today and an error in future JAX).
+        return x.at[..., dim_start : dim_start + n].set(
+            out1.astype(x.dtype)
+        ).at[..., dim_start + n : dim_start + 2 * n].set(out2.astype(x.dtype))
 
     rows = jnp.repeat(jnp.arange(gh), gw).astype(jnp.float32)
     cols = jnp.tile(jnp.arange(gw), gh).astype(jnp.float32)
