@@ -24,3 +24,26 @@ import sys
 REFERENCE_PATH = "/root/reference"
 if REFERENCE_PATH not in sys.path:
     sys.path.append(REFERENCE_PATH)
+
+import pytest
+
+# Two-tier suite: modules listed here take minutes each (torch oracles built
+# in-process, multihost subprocesses, full train loops); everything else is
+# the <5-minute `-m quick` core-parity tier.
+HEAVY_MODULES = {
+    "test_wan", "test_i3d", "test_multihost", "test_harness", "test_flux",
+    "test_hyvae_third_party", "test_engine_reference_parity",
+    "test_unet_parity", "test_vit_parity", "test_vit_training",
+    "test_tensor_parallel", "test_learning_sanity", "test_train_step",
+    "test_fused_train", "test_postprocessor", "test_remat_accum",
+    "test_weight_converters", "test_engine_e2e", "test_serve",
+    "test_downsample_fused", "test_upsample_fused", "test_fused_resblock",
+    "test_metrics", "test_vf_branch",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+        tier = "heavy" if module in HEAVY_MODULES else "quick"
+        item.add_marker(getattr(pytest.mark, tier))
