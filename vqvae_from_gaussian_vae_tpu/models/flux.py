@@ -192,8 +192,25 @@ def _ln(x):
     return ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
 
 
+def _ip_attention(q, image_proj, k_proj, v_proj, num_heads):
+    """IP-adapter cross-attention (`modules/layers.py:283-299,434-448`):
+    latent queries (post-QKNorm, NO RoPE — the reference takes q before
+    `attention()` applies positional rotation) attend over projected CLIP
+    image tokens.  Token-major (B, L, H, D) throughout."""
+    from vqvae_from_gaussian_vae_tpu.ops.flash_blc import sdpa_token_major
+
+    b, lc = image_proj.shape[:2]
+    hd = q.shape[-1]
+    ip_k = k_proj(image_proj).reshape(b, lc, num_heads, hd)
+    ip_v = v_proj(image_proj).reshape(b, lc, num_heads, hd)
+    out = sdpa_token_major(q, ip_k, ip_v)
+    return out
+
+
 class DoubleStreamBlock(nn.Module):
-    """img/txt MMDiT block (`modules/layers.py:303-392`)."""
+    """img/txt MMDiT block (`modules/layers.py:303-392`); with
+    ``ip_context_dim`` set it also carries the IP-adapter processor's
+    zero-init k/v projections (`layers.py:221-248`)."""
 
     hidden_size: int
     num_heads: int
@@ -201,9 +218,10 @@ class DoubleStreamBlock(nn.Module):
     qkv_bias: bool = False
     lora_rank: int = 0
     dtype: Any = jnp.bfloat16
+    ip_context_dim: int = 0
 
     @nn.compact
-    def __call__(self, img, txt, vec, pe):
+    def __call__(self, img, txt, vec, pe, image_proj=None, ip_scale=1.0):
         hd = self.hidden_size // self.num_heads
         mlp_dim = int(self.hidden_size * self.mlp_ratio)
 
@@ -256,20 +274,42 @@ class DoubleStreamBlock(nn.Module):
         h = nn.Dense(mlp_dim, dtype=self.dtype, name="txt_mlp_0")(txt_mlp_in)
         h = jax.nn.gelu(h, approximate=True)
         txt = txt + t_g2 * nn.Dense(self.hidden_size, dtype=self.dtype, name="txt_mlp_2")(h)
+
+        if self.ip_context_dim:
+            # IPDoubleStreamBlockProcessor (`layers.py:249-299`): image-token
+            # cross-attention added AFTER both residual updates; k/v zero-init
+            # with bias so a fresh adapter is an exact no-op
+            k_proj = nn.Dense(self.hidden_size, use_bias=True, dtype=self.dtype,
+                              kernel_init=nn.initializers.zeros,
+                              name="ip_adapter_double_stream_k_proj")
+            v_proj = nn.Dense(self.hidden_size, use_bias=True, dtype=self.dtype,
+                              kernel_init=nn.initializers.zeros,
+                              name="ip_adapter_double_stream_v_proj")
+            if image_proj is not None:
+                ip = _ip_attention(iq, image_proj, k_proj, v_proj, self.num_heads)
+                img = img + ip_scale * ip.reshape(img.shape)
+            else:
+                # materialize the adapter params so the tree is static whether
+                # or not an image prompt is supplied; XLA drops the dead call
+                dummy = jnp.zeros((1, 1, self.ip_context_dim), self.dtype)
+                k_proj(dummy), v_proj(dummy)
         return img, txt
 
 
 class SingleStreamBlock(nn.Module):
-    """Fused qkv+mlp single-stream block (`modules/layers.py:485-535`)."""
+    """Fused qkv+mlp single-stream block (`modules/layers.py:485-535`); with
+    ``ip_context_dim`` set it carries the IP-adapter processor's zero-init
+    bias-free k/v projections (`layers.py:391-449`)."""
 
     hidden_size: int
     num_heads: int
     mlp_ratio: float = 4.0
     lora_rank: int = 0
     dtype: Any = jnp.bfloat16
+    ip_context_dim: int = 0
 
     @nn.compact
-    def __call__(self, x, vec, pe):
+    def __call__(self, x, vec, pe, image_proj=None, ip_scale=1.0):
         hd = self.hidden_size // self.num_heads
         mlp_dim = int(self.hidden_size * self.mlp_ratio)
         (sh, sc, gate), _ = Modulation(self.hidden_size, False, self.dtype,
@@ -286,6 +326,21 @@ class SingleStreamBlock(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q, k = QKNorm(hd, name="norm")(q, k, v)
         attn_out = attention(q, k, v, pe)
+        if self.ip_context_dim:
+            # IPSingleStreamBlockProcessor (`layers.py:391-449`): added to the
+            # attention stream BEFORE linear2; bias-free zero-init k/v
+            k_proj = nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype,
+                              kernel_init=nn.initializers.zeros,
+                              name="ip_adapter_single_stream_k_proj")
+            v_proj = nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype,
+                              kernel_init=nn.initializers.zeros,
+                              name="ip_adapter_single_stream_v_proj")
+            if image_proj is not None:
+                ip = _ip_attention(q, image_proj, k_proj, v_proj, self.num_heads)
+                attn_out = attn_out + ip_scale * ip.reshape(attn_out.shape)
+            else:
+                dummy = jnp.zeros((1, 1, self.ip_context_dim), self.dtype)
+                k_proj(dummy), v_proj(dummy)
         cat = jnp.concatenate([attn_out, jax.nn.gelu(mlp, approximate=True)], axis=-1)
         out = nn.Dense(self.hidden_size, dtype=self.dtype, name="linear2")(cat)
         if self.lora_rank:
@@ -309,16 +364,39 @@ class LastLayer(nn.Module):
                         kernel_init=nn.initializers.zeros, name="linear")(x)
 
 
+class ImageProjModel(nn.Module):
+    """CLIP image embedding -> N extra context tokens
+    (`modules/layers.py:574-594`, the tencent IP-Adapter projection)."""
+
+    cross_attention_dim: int = 4096
+    clip_embeddings_dim: int = 768
+    clip_extra_context_tokens: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, image_embeds):
+        x = nn.Dense(self.clip_extra_context_tokens * self.cross_attention_dim,
+                     dtype=self.dtype, name="proj")(image_embeds)
+        x = x.reshape(-1, self.clip_extra_context_tokens, self.cross_attention_dim)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
 class Flux(nn.Module):
-    """(`model.py:27-228`): tokens + conditioning -> velocity tokens."""
+    """(`model.py:27-228`): tokens + conditioning -> velocity tokens.
+
+    ``ip_context_dim`` > 0 equips every block with IP-adapter k/v
+    projections (`model.py:146-190`); pass ``image_proj`` (the
+    ImageProjModel's tokens) and ``ip_scale`` to engage them."""
 
     params: FluxParams
     lora_rank: int = 0
     remat: bool = True
+    ip_context_dim: int = 0
 
     @nn.compact
     def __call__(self, img, img_ids, txt, txt_ids, timesteps, y,
-                 block_controlnet_hidden_states=None, guidance=None):
+                 block_controlnet_hidden_states=None, guidance=None,
+                 image_proj=None, ip_scale=1.0):
         p = self.params
         dtype = jnp.bfloat16
         img = nn.Dense(p.hidden_size, dtype=dtype, name="img_in")(img)
@@ -344,8 +422,9 @@ class Flux(nn.Module):
         for i in range(p.depth):
             img, txt = dblock(
                 p.hidden_size, p.num_heads, p.mlp_ratio, p.qkv_bias,
-                self.lora_rank, dtype, name=f"double_blocks_{i}",
-            )(img, txt, vec, pe)
+                self.lora_rank, dtype, self.ip_context_dim,
+                name=f"double_blocks_{i}",
+            )(img, txt, vec, pe, image_proj, ip_scale)
             if block_controlnet_hidden_states is not None:
                 img = img + block_controlnet_hidden_states[
                     i % len(block_controlnet_hidden_states)
@@ -354,8 +433,8 @@ class Flux(nn.Module):
         for i in range(p.depth_single_blocks):
             x = sblock(
                 p.hidden_size, p.num_heads, p.mlp_ratio, self.lora_rank, dtype,
-                name=f"single_blocks_{i}",
-            )(x, vec, pe)
+                self.ip_context_dim, name=f"single_blocks_{i}",
+            )(x, vec, pe, image_proj, ip_scale)
         x = x[:, txt.shape[1]:]
         return LastLayer(p.hidden_size, 64, dtype, name="final_layer")(x, vec)
 
@@ -479,16 +558,20 @@ def denoise(
     vec,
     timesteps: List[float],
     guidance: float = 4.0,
+    image_proj=None,
+    ip_scale: float = 1.0,
 ):
-    """Plain guided Euler loop, no ControlNet/CFG (`sampling.py:175-228`)."""
+    """Plain guided Euler loop, no ControlNet/CFG (`sampling.py:175-228`);
+    image_proj/ip_scale engage the IP-adapter path (`sampling.py:192-211`)."""
     guidance_vec = jnp.full((img.shape[0],), guidance, jnp.float32)
 
     @jax.jit
     def step(img, t_curr, t_prev):
         t_vec = jnp.full((img.shape[0],), t_curr, jnp.float32)
+        kw = {} if image_proj is None else {"image_proj": image_proj, "ip_scale": ip_scale}
         pred = model_apply(
             img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
-            timesteps=t_vec, y=vec, guidance=guidance_vec,
+            timesteps=t_vec, y=vec, guidance=guidance_vec, **kw,
         )
         return img + (t_prev - t_curr) * pred.astype(img.dtype)
 
@@ -514,9 +597,15 @@ def denoise_controlnet(
     true_gs: float = 1.0,
     controlnet_gs: float = 0.7,
     timestep_to_start_cfg: int = 0,
+    image_proj=None,
+    neg_image_proj=None,
+    ip_scale: float = 1.0,
+    neg_ip_scale: float = 1.0,
 ):
     """CFG + ControlNet Euler loop (`sampling.py:230-318`); the per-step
-    function is jitted once and reused across the static schedule."""
+    function is jitted once and reused across the static schedule.
+    image_proj/neg_image_proj engage the IP-adapter on the positive/negative
+    branches (`sampling.py:250-311`)."""
     guidance_vec = jnp.full((img.shape[0],), guidance, jnp.float32)
 
     @jax.jit
@@ -527,15 +616,18 @@ def denoise_controlnet(
             txt=txt, txt_ids=txt_ids, timesteps=t_vec, y=vec, guidance=guidance_vec,
         )
         residuals = [r * controlnet_gs for r in residuals]
+        kw = {} if image_proj is None else {"image_proj": image_proj, "ip_scale": ip_scale}
+        nkw = ({} if neg_image_proj is None
+               else {"image_proj": neg_image_proj, "ip_scale": neg_ip_scale})
         pred = model_apply(
             img=img, img_ids=img_ids, txt=txt, txt_ids=txt_ids,
             timesteps=t_vec, y=vec,
-            block_controlnet_hidden_states=residuals, guidance=guidance_vec,
+            block_controlnet_hidden_states=residuals, guidance=guidance_vec, **kw,
         )
         neg_pred = model_apply(
             img=img, img_ids=img_ids, txt=neg_txt, txt_ids=neg_txt_ids,
             timesteps=t_vec, y=neg_vec,
-            block_controlnet_hidden_states=residuals, guidance=guidance_vec,
+            block_controlnet_hidden_states=residuals, guidance=guidance_vec, **nkw,
         )
         pred = jnp.where(cfg_on, neg_pred + true_gs * (pred - neg_pred), pred)
         return img + (t_prev - t_curr) * pred.astype(img.dtype)

@@ -36,6 +36,10 @@ class FluxPipeline:
         control_channels: int = 16,
         lora_rank: int = 0,
         controlnet_depth: int = 2,
+        ip_context_dim: int = 0,
+        ip_weights: Optional[str] = None,
+        clip_embeddings_dim: int = 768,
+        clip_extra_context_tokens: int = 4,
         flux_params: Optional[F.FluxParams] = None,
         flux_weights: Optional[str] = None,
         controlnet_weights: Optional[str] = None,
@@ -45,7 +49,18 @@ class FluxPipeline:
         seed: int = 0,
     ):
         self.params_cfg = flux_params or F.flux_dev_params()
-        self.model = F.Flux(self.params_cfg, lora_rank=lora_rank)
+        self.model = F.Flux(self.params_cfg, lora_rank=lora_rank,
+                            ip_context_dim=ip_context_dim)
+        # IP-adapter image-prompt projection (`xflux_pipeline.py` ip path):
+        # CLIP image embedding -> N extra context tokens fed to every block
+        self.image_proj_model = (
+            F.ImageProjModel(cross_attention_dim=ip_context_dim,
+                             clip_embeddings_dim=clip_embeddings_dim,
+                             clip_extra_context_tokens=clip_extra_context_tokens)
+            if ip_context_dim else None
+        )
+        self.image_proj_params = None
+        self._ip_weights = ip_weights
         self.controlnet = F.ControlNetFlux(self.params_cfg, control_channels,
                                            controlnet_depth)
         self.ae = AutoencoderKLFLUX(ckpt_path=ae_weights, seed=seed)
@@ -78,6 +93,20 @@ class FluxPipeline:
         self.controlnet_params = self.controlnet.init(
             jax.random.fold_in(rng, 1), img, img_ids, cond, txt, txt_ids, t, y, g
         )["params"]
+        if self.image_proj_model is not None:
+            dummy = jnp.zeros((1, self.image_proj_model.clip_embeddings_dim), jnp.bfloat16)
+            self.image_proj_params = self.image_proj_model.init(
+                jax.random.fold_in(rng, 2), dummy)["params"]
+            if self._ip_weights:
+                from vqvae_from_gaussian_vae_tpu.utils.torch_convert import (
+                    convert_state_dict, load_torch_checkpoint,
+                )
+
+                sd = load_torch_checkpoint(self._ip_weights)
+                proj_sd = {k[len("image_proj."):]: v for k, v in sd.items()
+                           if k.startswith("image_proj.")} or sd
+                self.image_proj_params, _, _ = convert_state_dict(
+                    proj_sd, self.image_proj_params)
         fw, cw = self._weights
         for path, attr in ((fw, "model_params"), (cw, "controlnet_params")):
             if path:
@@ -112,6 +141,10 @@ class FluxPipeline:
         control_weight: float = 1.0,
         timestep_to_start_cfg: int = 5,
         txt_len: int = 512,
+        image_prompt_embeds: Optional[jnp.ndarray] = None,  # (B, clip_dim)
+        neg_image_prompt_embeds: Optional[jnp.ndarray] = None,
+        ip_scale: float = 1.0,
+        neg_ip_scale: float = 1.0,
     ) -> jnp.ndarray:
         assert self.model_params is not None, "call init_params() first"
         b = controlnet_image.shape[0]
@@ -143,6 +176,17 @@ class FluxPipeline:
         img_ids = F.make_img_ids(hl, wl, b)
         timesteps = F.get_schedule(num_steps, img.shape[1])
 
+        image_proj = neg_image_proj = None
+        if image_prompt_embeds is not None:
+            assert self.image_proj_model is not None, \
+                "image prompts need ip_context_dim > 0 at pipeline construction"
+            proj = lambda e: self.image_proj_model.apply(
+                {"params": self.image_proj_params}, e.astype(jnp.bfloat16))
+            image_proj = proj(image_prompt_embeds)
+            neg_image_proj = proj(
+                neg_image_prompt_embeds
+                if neg_image_prompt_embeds is not None
+                else jnp.zeros_like(image_prompt_embeds))
         model_apply = lambda **kw: self.model.apply({"params": self.model_params}, **kw)
         ctrl_apply = lambda **kw: self.controlnet.apply(
             {"params": self.controlnet_params}, **kw
@@ -158,6 +202,10 @@ class FluxPipeline:
             true_gs=true_gs,
             controlnet_gs=control_weight,
             timestep_to_start_cfg=timestep_to_start_cfg,
+            image_proj=image_proj,
+            neg_image_proj=neg_image_proj,
+            ip_scale=ip_scale,
+            neg_ip_scale=neg_ip_scale,
         )
         latents = F.unpack_latents(x.astype(jnp.float32), height, width)
         return self.ae.decode(latents)
