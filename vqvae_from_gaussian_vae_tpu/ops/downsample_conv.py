@@ -15,7 +15,9 @@ as ops/upsample_conv.py, see that module's docstring).  Like the upsample
 kernel it emits per-sample channel (sum, sumsq) of the output so the
 consumer GroupNorm needs no extra full-res pass.
 
-Inference-path only (no custom VJP); training uses the XLA path.
+Training uses the custom-VJP wrappers below (Pallas phase-algebra
+backward with hwbc-resident residuals); GVQ_FUSED_TRAIN=0 opts training
+back onto the plain XLA path.
 """
 
 from __future__ import annotations

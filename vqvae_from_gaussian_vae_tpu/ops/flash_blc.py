@@ -125,26 +125,39 @@ def sdpa_token_major(q, k, v, sm_scale: float = None):
     return out.reshape(b, l, h * d)
 
 
+def _pow2(x: float) -> bool:
+    import math
+
+    return x > 0 and math.log2(x).is_integer()
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
     q = q_ref[0]  # (block_q, heads * D)
     k = k_ref[0]  # (L, heads * D)
     v = v_ref[0]
     d = q.shape[-1] // heads
+    # power-of-two scales (every D = 4^k head) fold into the bf16 q tile
+    # EXACTLY (pure exponent shift) — a (bq, D) multiply instead of the
+    # (bq, L) fp32 score multiply, 16x less VPU traffic at D=64/L=1024
+    q_fold = _pow2(sm_scale)
 
     def _probs(h):
         sl = slice(h * d, (h + 1) * d)
-        s = lax.dot_general(q[:, sl], k[:, sl], _TRANS_B,
+        qh = q[:, sl] * q.dtype.type(sm_scale) if q_fold else q[:, sl]
+        s = lax.dot_general(qh, k[:, sl], _TRANS_B,
                             preferred_element_type=jnp.float32)
-        s *= sm_scale
+        if not q_fold:
+            s *= sm_scale
         m = jnp.max(s, axis=1)[:, None]
         p = jnp.exp(s - m)
-        return (p / jnp.sum(p, axis=1)[:, None]).astype(v.dtype)
+        # normalization DEFERRED to the (bq, D) output: the (bq, L) divide
+        # was the largest exposed VPU op in the head pipeline
+        return p.astype(v.dtype), (1.0 / jnp.sum(p, axis=1))[:, None]
 
-    def _emit(h, p):
+    def _emit(h, p, inv_sum):
         sl = slice(h * d, (h + 1) * d)
-        o_ref[0, :, sl] = lax.dot(
-            p, v[:, sl], preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        o = lax.dot(p, v[:, sl], preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o * inv_sum).astype(o_ref.dtype)
 
     # software-pipeline the head loop: issue head h+1's QK^T/softmax
     # before head h's AV matmul so the VPU softmax overlaps MXU work
@@ -152,9 +165,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
     prev = _probs(0)
     for h in range(1, heads):
         cur = _probs(h)
-        _emit(h - 1, prev)
+        _emit(h - 1, *prev)
         prev = cur
-    _emit(heads - 1, prev)
+    _emit(heads - 1, *prev)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
@@ -174,29 +187,38 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
     o = o_ref[0]
     d = q.shape[-1] // heads
 
+    q_fold = _pow2(sm_scale)
+
     def _probs_ds(h):
         sl = slice(h * d, (h + 1) * d)
         qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        if q_fold:
+            qh = qh * qh.dtype.type(sm_scale)
         s = lax.dot_general(qh, kh, _TRANS_B,
                             preferred_element_type=jnp.float32)
-        s *= sm_scale
+        if not q_fold:
+            s *= sm_scale
         m = jnp.max(s, axis=1)[:, None]
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=1)[:, None]
+        inv_sum = (1.0 / jnp.sum(p, axis=1))[:, None]
         dp = lax.dot_general(doh, vh, _TRANS_B,
                              preferred_element_type=jnp.float32)
         di = jnp.sum(doh.astype(jnp.float32) * o[:, sl].astype(jnp.float32),
                      axis=1)[:, None]
-        ds = p * (dp - di) * sm_scale
-        return p.astype(doh.dtype), ds.astype(qh.dtype)
+        # normalization deferred out of the (bq, L) tiles: ds folds
+        # inv_sum*scale into the existing elementwise chain (one fewer
+        # (bq, L) divide); dv gets p-unnormalized against row-scaled do
+        ds = p * (dp - di) * (inv_sum * sm_scale)
+        return (p.astype(doh.dtype), ds.astype(qh.dtype),
+                (doh.astype(jnp.float32) * inv_sum).astype(doh.dtype))
 
-    def _emit(h, pb, dsb):
+    def _emit(h, pb, dsb, dob):
         # x^T @ y via dimension numbers: the MXU takes the transposed
         # operand natively; an explicit .T materialises a VPU shuffle
         # (measured 4% slower end-to-end)
         sl = slice(h * d, (h + 1) * d)
         dv_scratch[:, sl] += lax.dot_general(
-            pb, do[:, sl], _TRANS_A, preferred_element_type=jnp.float32)
+            pb, dob, _TRANS_A, preferred_element_type=jnp.float32)
         dk_scratch[:, sl] += lax.dot_general(
             dsb, q[:, sl], _TRANS_A, preferred_element_type=jnp.float32)
         dq_ref[0, :, sl] = lax.dot(
