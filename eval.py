@@ -64,6 +64,12 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # multi-host slice init (the reference's torch.distributed env:// init,
+    # eval.py:83-88); no-op without coordinator env vars or under a worker
+    # that already initialized jax.distributed (tests/eval_multihost_worker.py)
+    from vqvae_from_gaussian_vae_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     import jax
     import jax.numpy as jnp
 

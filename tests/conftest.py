@@ -39,7 +39,7 @@ HEAVY_MODULES = {
     "test_weight_converters", "test_engine_e2e", "test_serve",
     "test_downsample_fused", "test_upsample_fused", "test_fused_resblock",
     "test_metrics", "test_vf_branch", "test_parity_runbook",
-    "test_flux_ip_adapter",
+    "test_flux_ip_adapter", "test_eval_multihost",
 }
 
 
