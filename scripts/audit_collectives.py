@@ -184,11 +184,14 @@ def main():
     # weak-scaling (full mode only: needs the real FLOP model)
     if args.full:
         bs_chip = args.bs // 8
-        step_flops = FL.gan_train_step_flops(res, bs_chip)  # per chip
-        _, ae_total = fmt_table("", audit_hlo(ae_hlo, axis_map))
-        sections.append(weak_scaling(
-            f"{label} ae_step, bs/chip={bs_chip}", ae_total, step_flops * bs_chip))
-        print(sections[-1])
+        enc_cfg = cfg["model"]["params"]["encoder_config"]["params"]
+        step_flops = FL.gan_train_step_flops(enc_cfg, img=res)  # per image
+        for phase, hlo in (("ae_step", ae_hlo), ("disc_step", disc_hlo)):
+            _, total = fmt_table("", audit_hlo(hlo, axis_map))
+            sections.append(weak_scaling(
+                f"{label} {phase}, bs/chip={bs_chip}", total,
+                step_flops[phase] * bs_chip))
+            print(sections[-1], "\n")
 
     # ---------------- dp x tp flux MMDiT ----------------
     from tests.test_flux import TINY, _inputs

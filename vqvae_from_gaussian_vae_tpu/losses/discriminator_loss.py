@@ -131,8 +131,17 @@ class GeneralLPIPSWithDiscriminator(nn.Module):
         return -jnp.mean(self.discriminator(reconstructions, train=train))
 
     def d_loss(self, inputs, reconstructions, train: bool = False):
-        logits_real = self.discriminator(jax.lax.stop_gradient(inputs), train=train)
-        logits_fake = self.discriminator(jax.lax.stop_gradient(reconstructions), train=train)
+        # ONE forward over [x; xrec] instead of two (reference runs them
+        # separately, `discriminator_loss.py:339-346`): per-sample math is
+        # identical (ActNorm/conv have no cross-batch coupling), the convs
+        # run at 2x batch, and — on a data mesh — GSPMD emits ONE wgrad
+        # all-reduce instead of two (measured: the split form all-reduced
+        # every disc param twice, 767 MB/step vs 384 MB at sd3unet scale)
+        both = jnp.concatenate(
+            [jax.lax.stop_gradient(inputs),
+             jax.lax.stop_gradient(reconstructions)], axis=0)
+        logits = self.discriminator(both, train=train)
+        logits_real, logits_fake = jnp.split(logits, 2, axis=0)
         return self._disc_loss_fn(logits_real, logits_fake), logits_real, logits_fake
 
     def vf_loss(self, regularization_log):

