@@ -131,7 +131,7 @@ def _pow2(x: float) -> bool:
     return x > 0 and math.log2(x).is_integer()
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads):
     q = q_ref[0]  # (block_q, heads * D)
     k = k_ref[0]  # (L, heads * D)
     v = v_ref[0]
@@ -159,21 +159,28 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
         # normalization DEFERRED to the (bq, D) output: the (bq, L) divide
         # was the largest exposed VPU op in the head pipeline
         if pad:
-            return p.astype(v.dtype), None
-        return p.astype(v.dtype), (1.0 / jnp.sum(p, axis=1))[:, None]
+            return p.astype(v.dtype), m
+        return p.astype(v.dtype), (m, (1.0 / jnp.sum(p, axis=1))[:, None])
 
     ones = jnp.ones((k.shape[0], pad), v.dtype) if pad else None
 
-    def _emit(h, p, inv_sum):
+    def _emit(h, p, aux):
         sl = slice(h * d, (h + 1) * d)
         if pad:
+            m = aux
             vh = jnp.concatenate([v[:, sl], ones], axis=1)
             o = lax.dot(p, vh, preferred_element_type=jnp.float32)
             inv_sum = 1.0 / o[:, d:d + 1]
             o = o[:, :d]
         else:
+            m, inv_sum = aux
             o = lax.dot(p, v[:, sl], preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = (o * inv_sum).astype(o_ref.dtype)
+        if z_ref is not None:
+            # log-normalizer residual for the backward: z = m + ln(sum) =
+            # m - ln(inv_sum); the bwd recomputes p = exp(s - z) with NO
+            # max/sum reduce passes (s - z <= 0, so exp cannot overflow)
+            z_ref[0, :, h:h + 1] = m - jnp.log(inv_sum)
 
     # software-pipeline the head loop: issue head h+1's QK^T/softmax
     # before head h's AV matmul so the VPU softmax overlaps MXU work
@@ -186,10 +193,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, heads):
     _emit(heads - 1, *prev)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
-                *, sm_scale, heads, num_q_blocks):
+                *, sm_scale, heads, num_q_blocks, num_groups, fwd_hpb):
     q_idx = pl.program_id(2)
+    g_idx = 0 if num_groups == 1 else pl.program_id(1)
 
     @pl.when(q_idx == 0)
     def _init():
@@ -201,6 +209,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
     v = v_ref[0]
     do = do_ref[0]
     o = o_ref[0]
+    z = z_ref[0]  # (block_q, >=heads) fp32 log-normalizers from the fwd
     d = q.shape[-1] // heads
 
     q_fold = _pow2(sm_scale)
@@ -214,27 +223,39 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
                             preferred_element_type=jnp.float32)
         if not q_fold:
             s *= sm_scale
-        m = jnp.max(s, axis=1)[:, None]
-        p = jnp.exp(s - m)
-        inv_sum = (1.0 / jnp.sum(p, axis=1))[:, None]
+        # normalized probabilities straight from the fwd's log-normalizer:
+        # no max reduce, no sum reduce — two fewer VPU passes over the
+        # (bq, L) tile per head than the recompute-from-scratch form.
+        # z lanes follow the FWD's head grouping (128 lanes per fwd group);
+        # the bwd's own grouping may differ, so map through fwd_hpb.
+        def _lane(gi):
+            hg = gi * heads + h
+            return (hg // fwd_hpb) * 128 + hg % fwd_hpb
+
+        if num_groups == 1:
+            zcol = z[:, _lane(0):_lane(0) + 1]
+        else:
+            # Mosaic has no dynamic value slice; num_groups is tiny, so
+            # select among the static candidate lanes on the grid index
+            zcol = z[:, _lane(0):_lane(0) + 1]
+            for gi in range(1, num_groups):
+                zcol = jnp.where(g_idx == gi,
+                                 z[:, _lane(gi):_lane(gi) + 1], zcol)
+        p = jnp.exp(s - zcol)
         dp = lax.dot_general(doh, vh, _TRANS_B,
                              preferred_element_type=jnp.float32)
         di = jnp.sum(doh.astype(jnp.float32) * o[:, sl].astype(jnp.float32),
                      axis=1)[:, None]
-        # normalization deferred out of the (bq, L) tiles: ds folds
-        # inv_sum*scale into the existing elementwise chain (one fewer
-        # (bq, L) divide); dv gets p-unnormalized against row-scaled do
-        ds = p * (dp - di) * (inv_sum * sm_scale)
-        return (p.astype(doh.dtype), ds.astype(qh.dtype),
-                (doh.astype(jnp.float32) * inv_sum).astype(doh.dtype))
+        ds = p * (dp - di) * sm_scale
+        return p.astype(doh.dtype), ds.astype(qh.dtype)
 
-    def _emit(h, pb, dsb, dob):
+    def _emit(h, pb, dsb):
         # x^T @ y via dimension numbers: the MXU takes the transposed
         # operand natively; an explicit .T materialises a VPU shuffle
         # (measured 4% slower end-to-end)
         sl = slice(h * d, (h + 1) * d)
         dv_scratch[:, sl] += lax.dot_general(
-            pb, dob, _TRANS_A, preferred_element_type=jnp.float32)
+            pb, do[:, sl], _TRANS_A, preferred_element_type=jnp.float32)
         dk_scratch[:, sl] += lax.dot_general(
             dsb, q[:, sl], _TRANS_A, preferred_element_type=jnp.float32)
         dq_ref[0, :, sl] = lax.dot(
@@ -257,7 +278,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
         dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
 
 
-def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
+def _fwd_impl(q, k, v, sm_scale, num_heads, interpret, with_residual):
     b, l, c = q.shape
     d = c // num_heads
     tiling = _fwd_tiling(l, num_heads, d, jnp.dtype(q.dtype).itemsize)
@@ -267,7 +288,8 @@ def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
             f"L={l}, C={c}, dtype={q.dtype}; use the einsum path")
     hpb, block_q = tiling
     cg = hpb * d
-    grid = (b, num_heads // hpb, l // block_q)
+    n_groups = num_heads // hpb
+    grid = (b, n_groups, l // block_q)
 
     def q_map(bi, gi, qi):
         return (bi, qi, gi)
@@ -276,6 +298,15 @@ def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
         del qi
         return (bi, 0, gi)
 
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    out_specs = pl.BlockSpec((1, block_q, cg), q_map)
+    if with_residual:
+        # per-(row, head) log-normalizer z = m + ln(sum): lane = head
+        # within its fwd group, 128 lanes per group (the bwd maps a
+        # global head index back through hpb — see _bwd_call)
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, l, 128 * n_groups), jnp.float32)]
+        out_specs = [out_specs, pl.BlockSpec((1, block_q, 128), q_map)]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=sm_scale, heads=hpb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -286,15 +317,28 @@ def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
                 pl.BlockSpec((1, l, cg), kv_map),
                 pl.BlockSpec((1, l, cg), kv_map),
             ],
-            out_specs=pl.BlockSpec((1, block_q, cg), q_map),
+            out_specs=out_specs,
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         name=f"flash_blc_fwd_h{hpb}_bq{block_q}",
         interpret=interpret,
     )(q, k, v)
+
+
+def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
+    return _fwd_impl(q, k, v, sm_scale, num_heads, interpret, False)
+
+
+def _fwd_res_call(q, k, v, sm_scale, num_heads, interpret):
+    return _fwd_impl(q, k, v, sm_scale, num_heads, interpret, True)
+
+
+def _fwd_hpb(l, num_heads, d, esize):
+    tiling = _fwd_tiling(l, num_heads, d, esize)
+    return tiling[0] if tiling else num_heads
 
 
 def _einsum_ref(q, k, v, sm_scale, num_heads):
@@ -314,10 +358,12 @@ def _einsum_bwd(q, k, v, do, sm_scale, num_heads):
     return vjp(do)
 
 
-def _bwd_call(q, k, v, o, do, sm_scale, num_heads, interpret):
+def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
     b, l, c = q.shape
     d = c // num_heads
     esize = jnp.dtype(q.dtype).itemsize
+    fwd_hpb = _fwd_hpb(l, num_heads, d, esize)
+    z_width = z.shape[-1]
     # Joint VMEM search for the pipelined backward: fp32 dk/dv
     # accumulators + ~5 live fp32 (block_q, L) score/gradient tiles +
     # double-buffered k/v input tiles.  At the bsqvit bf16 shape this
@@ -354,14 +400,17 @@ def _bwd_call(q, k, v, o, do, sm_scale, num_heads, interpret):
 
     q_spec = pl.BlockSpec((1, block_q, cg), q_map)
     kv_spec = pl.BlockSpec((1, l, cg), kv_map)
+    z_spec = pl.BlockSpec((1, block_q, z_width),
+                          lambda bi, gi, qi: (bi, qi, 0))
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, sm_scale=sm_scale, heads=hpb,
-                          num_q_blocks=nq),
+                          num_q_blocks=nq, num_groups=num_heads // hpb,
+                          fwd_hpb=fwd_hpb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec],
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, z_spec, q_spec],
             out_specs=[q_spec, kv_spec, kv_spec],
             scratch_shapes=[
                 pltpu.VMEM((l, cg), jnp.float32),
@@ -378,7 +427,7 @@ def _bwd_call(q, k, v, o, do, sm_scale, num_heads, interpret):
         ),
         name=f"flash_blc_bwd_h{hpb}_bq{block_q}",
         interpret=interpret,
-    )(q, k, v, o, do)
+    )(q, k, v, o, z, do)
     return dq, dk, dv
 
 
@@ -390,7 +439,7 @@ def _bwd_call(q, k, v, o, do, sm_scale, num_heads, interpret):
 # --------------------------------------------------------------------------
 
 
-def _make_batch_cp(impl, n_arrays):
+def _make_batch_cp(impl, n_arrays, n_out=1, z_args=(), z_outs=()):
     cp = custom_partitioning(
         impl, static_argnums=(n_arrays, n_arrays + 1, n_arrays + 2))
 
@@ -417,17 +466,24 @@ def _make_batch_cp(impl, n_arrays):
         return (mesh, lower, out_sh if n_out > 1 else out_sh[0],
                 _shardings(mesh, b_ax, n_arrays))
 
-    dims = (("b", "l", "c"),) * n_arrays
-    n_out = 1 if n_arrays == 3 else 3
-    rule = SdyShardingRule(dims, (("b", "l", "c"),) * n_out,
-                           need_replication_factors=("l", "c"))
+    # the z residual's lane width (128 * fwd groups) differs from c, so it
+    # carries its own Shardy factor — same batch/seq factors, replicated
+    # tail like everything else
+    dims = tuple(("b", "l", "z" if i in z_args else "c")
+                 for i in range(n_arrays))
+    out_dims = tuple(("b", "l", "z" if i in z_outs else "c")
+                     for i in range(n_out))
+    need_rep = ("l", "c") + (("z",) if (z_args or z_outs) else ())
+    rule = SdyShardingRule(dims, out_dims,
+                           need_replication_factors=need_rep)
     cp.def_partition(partition, infer_sharding_from_operands=infer,
                      sharding_rule=rule)
     return cp
 
 
 _FWD_CP = _make_batch_cp(_fwd_call, 3)
-_BWD_CP = _make_batch_cp(_bwd_call, 5)
+_FWD_RES_CP = _make_batch_cp(_fwd_res_call, 3, n_out=2, z_outs=(1,))
+_BWD_CP = _make_batch_cp(_bwd_call, 6, n_out=3, z_args=(4,))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -444,13 +500,17 @@ def flash_attention_blc(q, k, v, sm_scale: float, num_heads: int,
 
 
 def _vjp_fwd(q, k, v, sm_scale, num_heads, interpret):
-    o = _FWD_CP(q, k, v, sm_scale, num_heads, interpret)
-    return o, (q, k, v, o)
+    # the training forward also emits the per-(row, head) log-normalizer
+    # z = m + ln(sum) so the backward can rebuild normalized probabilities
+    # without max/sum reduce passes; HBM cost is (B, L, 128*groups) fp32
+    # per layer — two VPU passes per (head, q-block) bought for ~8 MB
+    o, zres = _FWD_RES_CP(q, k, v, sm_scale, num_heads, interpret)
+    return o, (q, k, v, o, zres)
 
 
 def _vjp_bwd(sm_scale, num_heads, interpret, res, do):
-    q, k, v, o = res
-    return _BWD_CP(q, k, v, o, do, sm_scale, num_heads, interpret)
+    q, k, v, o, zres = res
+    return _BWD_CP(q, k, v, o, zres, do, sm_scale, num_heads, interpret)
 
 
 flash_attention_blc.defvjp(_vjp_fwd, _vjp_bwd)
