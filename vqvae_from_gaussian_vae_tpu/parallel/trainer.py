@@ -11,6 +11,7 @@ scalar logging and the ImageLogger schedule.
 
 from __future__ import annotations
 
+import logging
 import os
 import signal
 import time
@@ -290,6 +291,14 @@ class Trainer:
                     self.scalar_logger.log(scalars, step)
                     if self.wandb:
                         self.wandb.log(scalars, step)
+                if self.image_logger.should_log(step) and jax.process_count() > 1:
+                    if not getattr(self, "_warned_img_multiproc", False):
+                        self._warned_img_multiproc = True
+                        logging.warning(
+                            "image logging is disabled under multi-process SPMD "
+                            "(the grid forward is host-local and would desync the "
+                            "processes); scalar logs remain global"
+                        )
                 if self.image_logger.should_log(step) and jax.process_count() == 1:
                     # image grids run a host-local forward; under multi-host
                     # SPMD that would desync the processes - scalars (global)
