@@ -143,6 +143,23 @@ def test_flops_estimator_sanity():
     assert 1e11 < vit < 1e12, vit
 
 
+def test_vit_attention_achievable_extra():
+    """Depth-limited attention charge (utils/flops.py): with m = layers *
+    2 L^2 w and r = 128/D, forward extra = (r-1)m, backward adds (2r-1)m.
+    D=128 heads pay only the flash-bwd recompute; D>=128 never pays the
+    depth penalty."""
+    from vqvae_from_gaussian_vae_tpu.utils import flops as F
+
+    bsq = dict(patch_size=8, image_size=256, width=768, layers=12, heads=12)
+    l = (256 // 8) ** 2
+    m = 12 * 2.0 * l * l * 768
+    assert F.vit_train_attention_extra(bsq, trainable=False) == (2 - 1) * m
+    assert F.vit_train_attention_extra(bsq) == (2 - 1) * m + (2 * 2 - 1) * m
+    wide = dict(bsq, heads=6)  # D = 128: full depth
+    assert F.vit_train_attention_extra(wide, trainable=False) == 0.0
+    assert F.vit_train_attention_extra(wide) == m  # recompute only
+
+
 def test_engine_rejects_unsupported_ctor_surface():
     """Accept-and-ignore audit: stored-but-unread ctor kwargs must raise.
 
