@@ -153,9 +153,10 @@ def test_vit_attention_achievable_extra():
     bsq = dict(patch_size=8, image_size=256, width=768, layers=12, heads=12)
     l = (256 // 8) ** 2
     m = 12 * 2.0 * l * l * 768
-    assert F.vit_train_attention_extra(bsq, trainable=False) == (2 - 1) * m
-    assert F.vit_train_attention_extra(bsq) == (2 - 1) * m + (2 * 2 - 1) * m
-    wide = dict(bsq, heads=6)  # D = 128: full depth
+    # D=64 -> r=2: fwd 2rm vs 2m charged, bwd 5rm vs 4m charged
+    assert F.vit_train_attention_extra(bsq, trainable=False) == 2 * m
+    assert F.vit_train_attention_extra(bsq) == 2 * m + 6 * m
+    wide = dict(bsq, heads=6)  # D = 128: full rate on both MXU axes
     assert F.vit_train_attention_extra(wide, trainable=False) == 0.0
     assert F.vit_train_attention_extra(wide) == m  # recompute only
 

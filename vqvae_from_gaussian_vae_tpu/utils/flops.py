@@ -201,22 +201,26 @@ def vit_train_attention_extra(cfg: Dict, *, trainable: bool = True) -> float:
     Two physical effects the plain FLOP count hides (docs/kernels.md
     round 2f):
 
-    * depth-limited contractions: a matmul contracting over the head dim
-      D runs at min(D, 128)/128 of MXU peak (the systolic array is 128
-      deep).  The QK^T forward matmul and the backward's s-recompute and
-      dp matmuls contract over D; for bsqvit's D = 64 they run at half
-      rate.  AV / dq / dk / dv contract over L or block_q (full depth).
+    * head-dim-limited matmuls: the MXU is a 128x128 systolic array on
+      BOTH axes, so a per-head attention matmul with D < 128 runs at
+      min(D, 128)/128 of peak whichever side D lands on — QK^T (and the
+      backward's s-recompute / dp) by contraction depth, AV (and
+      dq/dk/dv, whose outputs are D lanes wide) by output-lane width.
+      For bsqvit's D = 64 every per-head attention matmul is half rate
+      (the round-2f convention: the flash bucket's achievable floor is
+      2x its full-MXU ideal).
     * the flash backward recomputes QK^T in-VMEM (ops/flash_blc.py) —
       one extra m-sized matmul per layer that the 2x-forward backward
       charge does not include (it is cheaper than the HBM round-trip for
       a stored probability tensor, but it is still real MXU time).
 
     With m = one attention matmul's FLOPs (2 L^2 w per layer) and
-    r = 128/min(D,128):  forward extra = (r-1) m;  backward extra =
-    (s + dp at rate r) + (dq + dk + dv at full) - (charged 2A = 4m)
-    = (2r - 1) m.  Returns the summed extra for this trunk; add it to
-    the `gan_train_step_flops` denominator to get the *achievable*
-    ceiling (time-equivalent FLOPs / peak = achievable step time).
+    r = 128/min(D,128):  forward = 2 r m actual vs 2 m charged, extra =
+    2 (r-1) m;  backward = 5 matmuls (s, dp, dq, dk, dv) at rate r vs
+    the charged 2x-forward 4 m, extra = (5 r - 4) m.  Returns the summed
+    extra for this trunk; add it to the `gan_train_step_flops`
+    denominator to get the *achievable* ceiling (time-equivalent FLOPs /
+    peak = achievable step time).
     """
     p = cfg["patch_size"]
     l = (cfg["image_size"] // p) ** 2
@@ -224,9 +228,9 @@ def vit_train_attention_extra(cfg: Dict, *, trainable: bool = True) -> float:
     d_head = w // cfg.get("heads", cfg.get("num_heads", 12))
     m = cfg["layers"] * 2.0 * l * l * w
     r = 128.0 / min(d_head, 128)
-    extra = (r - 1.0) * m
+    extra = 2.0 * (r - 1.0) * m
     if trainable:
-        extra += (2.0 * r - 1.0) * m
+        extra += (5.0 * r - 4.0) * m
     return extra
 
 
