@@ -240,7 +240,10 @@ class Supervisor:
         os._exit(0 if self.best is not None else 3)
 
     def run(self):
-        total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "2400"))
+        # the tunnel's down-windows run on ~hour timescales; the budget must
+        # outlast one. An external kill (driver watchdog) still lands the
+        # best-so-far via the SIGTERM handler, so a large budget is safe.
+        total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "3600"))
         deadline = time.time() + total_budget
         signal.signal(signal.SIGTERM, self.on_signal)
         signal.signal(signal.SIGINT, self.on_signal)
@@ -248,7 +251,7 @@ class Supervisor:
         # stage 1: probe — wait out a dead tunnel window cheaply
         self.stage = "probe"
         probe_deadline = min(deadline - 900, time.time()
-                             + float(os.environ.get("BENCH_PROBE_BUDGET", "600")))
+                             + float(os.environ.get("BENCH_PROBE_BUDGET", "1500")))
         probe_ok, backoff = False, 10.0
         while time.time() < probe_deadline:
             t_attempt = min(150.0, max(30.0, probe_deadline - time.time()))
