@@ -195,7 +195,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
-                *, sm_scale, heads, num_q_blocks, num_groups, fwd_hpb):
+                *, sm_scale, heads, num_q_blocks, num_groups, fwd_hpb,
+                pipe_depth=1):
     q_idx = pl.program_id(2)
     g_idx = 0 if num_groups == 1 else pl.program_id(1)
 
@@ -264,13 +265,24 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
 
     # software-pipelined like the forward: head h+1's softmax/ds (VPU)
     # overlaps head h's three gradient matmuls (MXU); measured 1.71 ->
-    # 1.61 ms at the bsqvit shape
-    prev = _probs_ds(0)
-    for h in range(1, heads):
-        cur = _probs_ds(h)
-        _emit(h - 1, *prev)
-        prev = cur
-    _emit(heads - 1, *prev)
+    # 1.61 ms at the bsqvit shape.  pipe_depth=2 spaces the dependence
+    # two heads apart (VPU of h hides under FIVE matmuls instead of
+    # three) at the cost of one extra live (bq, L) p/ds pair in VMEM.
+    if pipe_depth >= 2 and heads >= 3:
+        s0, s1 = _probs_ds(0), _probs_ds(1)
+        for h in range(2, heads):
+            cur = _probs_ds(h)
+            _emit(h - 2, *s0)
+            s0, s1 = s1, cur
+        _emit(heads - 2, *s0)
+        _emit(heads - 1, *s1)
+    else:
+        prev = _probs_ds(0)
+        for h in range(1, heads):
+            cur = _probs_ds(h)
+            _emit(h - 1, *prev)
+            prev = cur
+        _emit(heads - 1, *prev)
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _flush():
@@ -370,12 +382,17 @@ def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
     # picks hpb=6/bq=256, the shipped config that benchmarked at pair
     # 112.4 img/s in vivo (the standalone sweep's hpb=4/bq=256 measured
     # the same within noise: 1.61 vs 1.63 ms).
+    import os
+    pipe_depth = int(os.environ.get("GVQ_FLASH_BWD_PIPE", "1"))
+    # depth-2 keeps one extra live (bq, L) p/ds pair (bf16 = one fp32
+    # tile equivalent) in the estimate
+    live_tiles = 5 + (1 if pipe_depth >= 2 else 0)
     hpb, block_q = None, None
     for g in reversed(_aligned_groups(num_heads, d)):
         for bq in (512, 256, 128, 64):
             if l % bq:
                 continue
-            est = (2 * l * g * d * 4) + (5 * bq * l * 4) \
+            est = (2 * l * g * d * 4) + (live_tiles * bq * l * 4) \
                 + (4 * l * g * d * esize)
             if est <= 11_500_000:
                 hpb, block_q = g, bq
@@ -406,7 +423,7 @@ def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, sm_scale=sm_scale, heads=hpb,
                           num_q_blocks=nq, num_groups=num_heads // hpb,
-                          fwd_hpb=fwd_hpb),
+                          fwd_hpb=fwd_hpb, pipe_depth=pipe_depth),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -425,7 +442,8 @@ def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-        name=f"flash_blc_bwd_h{hpb}_bq{block_q}",
+        name=f"flash_blc_bwd_h{hpb}_bq{block_q}"
+             + (f"_p{pipe_depth}" if pipe_depth > 1 else ""),
         interpret=interpret,
     )(q, k, v, o, z, do)
     return dq, dk, dv
