@@ -193,6 +193,56 @@ def gan_train_step_flops(enc_cfg: Dict, img: int = 256, ndf: int = 160,
                                               adaptive=adaptive)
 
 
+# v5e HBM bandwidth (bytes/s) for bandwidth-floor accounting of the
+# normalization traffic buckets (docs/kernels.md "Pallas GroupNorm" note)
+TPU_HBM_BW = {"v5e": 819e9}
+
+
+def unet_groupnorm_elems(cfg: Dict) -> float:
+    """Total elements flowing through GroupNorm sites in ONE UNet
+    encoder+decoder forward (per image).  Each ResnetBlock normalizes its
+    input and its hidden (models/unet.py), attention blocks normalize
+    once, plus the mid blocks and the decoder's norm_out.  Multiply by
+    bytes/element and the empirical pass count (fwd: stats read +
+    normalize read/write; bwd adds dy/x reads and a dx write) to get the
+    bandwidth floor of the GN bucket in a traced train step."""
+    ch = cfg["ch"]
+    ch_mult = list(cfg["ch_mult"])
+    res = cfg["resolution"]
+    n_blocks = cfg["num_res_blocks"]
+    attn_res = set(cfg.get("attn_resolutions", []))
+    total = 0.0
+    # encoder
+    in_mult = [1] + ch_mult
+    cur = res
+    for i, mult in enumerate(ch_mult):
+        cin, cout = ch * in_mult[i], ch * mult
+        for _ in range(n_blocks):
+            total += cur * cur * (cin + cout)  # norm1(in) + norm2(hidden)
+            cin = cout
+            if cur in attn_res:
+                total += cur * cur * cout
+        if i != len(ch_mult) - 1:
+            cur //= 2
+    c_mid = ch * ch_mult[-1]
+    total += 2 * (2 * cur * cur * c_mid)      # 2 mid resblocks
+    total += cur * cur * c_mid                 # encoder norm_out
+    # decoder (num_res_blocks + 1 per level, reversed)
+    total += 2 * (2 * cur * cur * c_mid)
+    block_in = c_mid
+    for i in reversed(range(len(ch_mult))):
+        block_out = ch * ch_mult[i]
+        for _ in range(n_blocks + 1):
+            total += cur * cur * (block_in + block_out)
+            block_in = block_out
+            if cur in attn_res:
+                total += cur * cur * block_out
+        if i != 0:
+            cur *= 2
+    total += cur * cur * block_in              # decoder norm_out
+    return total
+
+
 def vit_train_attention_extra(cfg: Dict, *, trainable: bool = True) -> float:
     """Extra time-equivalent FLOPs (beyond the `gan_train_step_flops`
     charge) that a ViT trunk's attention costs on the MXU, per forward
