@@ -161,6 +161,25 @@ def test_vit_attention_achievable_extra():
     assert F.vit_train_attention_extra(wide) == m  # recompute only
 
 
+def test_unet_groupnorm_elems():
+    """GN traffic counter: a single-level, single-block toy is countable
+    by hand — enc: 1 resblock (r^2(cin+cout)) + 2 mid (2 * 2 r^2 c) +
+    norm_out; dec: 2 mid + (n+1)=2 resblocks + norm_out."""
+    from vqvae_from_gaussian_vae_tpu.utils import flops as F
+
+    cfg = dict(ch=32, ch_mult=[1], resolution=8, num_res_blocks=1,
+               attn_resolutions=[], z_channels=4)
+    r2 = 64
+    enc = r2 * (32 + 32) + 2 * (2 * r2 * 32) + r2 * 32
+    dec = 2 * (2 * r2 * 32) + 2 * (r2 * (32 + 32)) + r2 * 32
+    assert F.unet_groupnorm_elems(cfg) == enc + dec
+    # flagship shape: hundreds of MB per image in bf16
+    big = dict(ch=128, ch_mult=[1, 2, 4, 4], resolution=256,
+               num_res_blocks=2, attn_resolutions=[32], z_channels=16)
+    elems = F.unet_groupnorm_elems(big)
+    assert 1e8 < elems < 3e8, elems
+
+
 def test_engine_rejects_unsupported_ctor_surface():
     """Accept-and-ignore audit: stored-but-unread ctor kwargs must raise.
 
