@@ -72,6 +72,36 @@ def test_gradients_match_einsum():
         assert err / scale < 2e-2, f"d{name}: rel err {err / scale}"
 
 
+def test_pipe_depth_2_matches_einsum(monkeypatch):
+    """The 2-deep head pipelines (GVQ_FLASH_{FWD,BWD}_PIPE=2) only reorder
+    instructions — fwd output and all three gradients must match the
+    einsum reference exactly as the default depth does."""
+    monkeypatch.setenv("GVQ_FLASH_FWD_PIPE", "2")
+    monkeypatch.setenv("GVQ_FLASH_BWD_PIPE", "2")
+    b, l, h, d = 2, 256, 12, 64
+    q, k, v = _inputs(b, l, h * d)
+    sm = d**-0.5
+    out = flash_attention_blc(q, k, v, sm, h, INTERPRET)
+    ref = _einsum_ref(q, k, v, h)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2)
+
+    def loss(f):
+        return lambda q, k, v: (f(q, k, v).astype(jnp.float32) ** 2).mean()
+
+    g_ref = jax.grad(loss(lambda q, k, v: _einsum_ref(q, k, v, h)),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(
+        loss(lambda q, k, v: flash_attention_blc(q, k, v, sm, h, INTERPRET)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, a, b_ in zip("qkv", g_ref, g_ker):
+        scale = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) + 1e-9
+        err = float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b_.astype(jnp.float32))))
+        assert err / scale < 2e-2, f"d{name}: rel err {err / scale}"
+
+
 def test_fp32_forward():
     b, l, h, d = 1, 256, 4, 64
     q, k, v = _inputs(b, l, h * d, jnp.float32)
