@@ -48,6 +48,15 @@ for _ in range(3):
     np.asarray(acc)
     best = min(best, (time.perf_counter() - t0) / 30)
 
+profile_dir = os.environ.get("BENCH_PROFILE")
+if profile_dir:
+    with jax.profiler.trace(profile_dir):
+        acc = jnp.float32(0)
+        for i in range(10):
+            acc = acc + fn(params, x, jax.random.fold_in(rng, i))
+        np.asarray(acc)
+    print(f"trace ({10} steps) -> {profile_dir}", file=sys.stderr)
+
 vit_cfg = dict(patch_size=8, image_size=256, width=enc_p.get("width", 768),
                layers=enc_p.get("layers", 12),
                z_channels=enc_p.get("z_channels", 16))

@@ -31,7 +31,7 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 # `conv_general_dilated`; `%` prefixes and `.N` suffixes vary by version.
 RULES = {
     "vit": [
-        ("flash fwd", r"flash_blc_h\d"),
+        ("flash fwd", r"flash_blc_(fwd_)?h\d"),
         ("flash bwd", r"flash_blc_bwd"),
         ("GQ search", r"gq_(topk|search|argmax)|gq_pallas"),
         ("LayerNorm (fused)", r"layer_norm|ln_(fwd|bwd|add)"),
