@@ -147,7 +147,7 @@ def run(variant, pipe_depth=2):
     # chain LAYERS applications inside one jit so per-call dispatch noise
     # (0.5+ ms over the tunnel) amortizes away; q feeds forward like a
     # residual stream
-    LAYERS = 24
+    LAYERS = int(os.environ.get("EXP_LAYERS", "12"))
 
     @jax.jit
     def chain(q, k, v):
