@@ -74,6 +74,87 @@ def worker_probe(out_path):
         json.dump({"ok": True, "platform": str(devs[0].platform)}, f)
 
 
+def worker_measure_vit(out_path):
+    """Secondary official record: the bsqvit_gq_0.25 flagship's e2e
+    throughput (VERDICT r3 #5 — the second backbone must be driver-visible,
+    not doc-only).  Reported as img/s with BOTH the analytic-roofline
+    fraction and the achievable fraction (attention matmuls at the
+    D=64-limited MXU rate, utils/flops.py:vit_train_attention_extra)."""
+    _worker_env_setup()
+    _progress(out_path, "import")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vqvae_from_gaussian_vae_tpu import instantiate_from_config
+    from vqvae_from_gaussian_vae_tpu.utils.config import load_config
+    from vqvae_from_gaussian_vae_tpu.utils import flops as F
+
+    batch = int(os.environ.get("BENCH_VIT_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_VIT_ITERS", "30"))
+
+    _progress(out_path, "build")
+    cfg = load_config(os.path.join(HERE, "configs", "bsqvit_gq_0.25.yaml"))
+    cfg["model"]["params"]["loss_config"] = None
+    cfg["model"]["params"].pop("ckpt_path", None)
+    enc_p = cfg["model"]["params"]["encoder_config"]["params"]
+    dec_p = cfg["model"]["params"]["decoder_config"]["params"]
+    enc_p["dtype"] = "bfloat16"
+    if isinstance(dec_p, dict):
+        dec_p["dtype"] = "bfloat16"
+
+    engine = instantiate_from_config(cfg["model"])
+    engine.init_params(jax.random.PRNGKey(0))
+    module = engine.module
+
+    def step(params, x, rng):
+        z, reg_log = module.apply(
+            {"params": params}, x, return_reg_log=True, train=False,
+            method="encode", rngs={"sample": rng},
+        )
+        xrec = module.apply({"params": params}, z, method="decode")
+        return jnp.float32(jnp.sum(xrec[0, 0, 0])) + reg_log["indices"].reshape(-1)[0]
+
+    fn = jax.jit(step)
+    params = jax.tree.map(jnp.asarray, engine.params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 256, 256, 3),
+                           jnp.float32) * 2 - 1
+    rng = jax.random.PRNGKey(2)
+    _progress(out_path, "compile")
+    np.asarray(fn(params, x, rng))
+    _progress(out_path, "run")
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    best_dt = float("inf")
+    for _t in range(trials):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for i in range(iters):
+            acc = acc + fn(params, x, jax.random.fold_in(rng, i))
+        _ = np.asarray(acc)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    img_per_s = batch * iters / best_dt
+
+    vit_cfg = dict(patch_size=8, image_size=256,
+                   width=enc_p.get("width", 768),
+                   layers=enc_p.get("layers", 12),
+                   z_channels=enc_p.get("z_channels", 16))
+    fl = (F.vit_flops(vit_cfg) + F.vit_decoder_flops(vit_cfg)
+          + F.gq_search_flops(1024, 16, 65536))
+    # attention matmuls cannot exceed min(D,128)/128 of MXU peak; the
+    # achievable denominator charges that (docs/kernels.md round 2f)
+    extra = 2 * F.vit_train_attention_extra(vit_cfg, trainable=False)
+    peak = F.TPU_PEAKS["v5e_bf16"]
+    with open(out_path, "w") as f:
+        json.dump({
+            "metric": "images/sec/chip 256x256 encode+quantize+decode "
+                      "(bsqvit_gq_0.25, bf16, bs=%d)" % batch,
+            "value": round(img_per_s, 3),
+            "unit": "img/s",
+            "vs_baseline": round(img_per_s / (peak / (fl + extra)), 4),
+            "roofline_frac": round(img_per_s / (peak / fl), 4),
+            "achievable_frac": round(img_per_s / (peak / (fl + extra)), 4),
+        }, f)
+
+
 def worker_measure(out_path):
     """The actual benchmark (e2e path of the reference
     /root/reference/pit/models/autoencoder.py:359-398 at speed)."""
@@ -291,7 +372,39 @@ class Supervisor:
                 self.attempts.append(("measure", err, prog))
                 if not probe_ok and time.time() > deadline - 150:
                     break
+
+        # headline lands FIRST: a kill during the secondary stage must not
+        # cost the official record
         self.emit()
+
+        # stage 3: the bsqvit secondary record -> BENCH_VIT.json (never on
+        # stdout: the driver contract is ONE headline JSON line).  Only
+        # spends budget the headline didn't need.
+        self.stage = "measure_vit"
+        vit_attempts = int(os.environ.get("BENCH_VIT_ATTEMPTS", "2"))
+        vit_best = None
+        for _ in range(vit_attempts):
+            remaining = deadline - time.time()
+            if remaining < 180 or (vit_best is not None):
+                break
+            res, err, prog = _run_worker("measure_vit",
+                                         max(180.0, min(900.0, remaining - 30.0)))
+            if res is not None:
+                vit_best = res
+            else:
+                self.attempts.append(("measure_vit", err, prog))
+        if vit_best is not None:
+            try:
+                with open(os.path.join(HERE, "BENCH_VIT.json"), "w") as f:
+                    json.dump(vit_best, f)
+                    f.write("\n")
+                print("bsqvit secondary record -> BENCH_VIT.json: %s img/s "
+                      "(%.3f of achievable)" % (vit_best["value"],
+                                                vit_best["vs_baseline"]),
+                      file=sys.stderr)
+            except OSError as e:
+                print("BENCH_VIT.json write failed: %s" % e, file=sys.stderr)
+
         return 0 if self.best is not None else 3
 
 
@@ -299,7 +412,8 @@ def main():
     if "--worker" in sys.argv:
         stage = sys.argv[sys.argv.index("--worker") + 1]
         out = sys.argv[sys.argv.index("--out") + 1]
-        {"probe": worker_probe, "measure": worker_measure}[stage](out)
+        {"probe": worker_probe, "measure": worker_measure,
+         "measure_vit": worker_measure_vit}[stage](out)
         return 0
     return Supervisor().run()
 

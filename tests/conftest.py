@@ -42,9 +42,21 @@ HEAVY_MODULES = {
     "test_flux_ip_adapter", "test_eval_multihost",
 }
 
+# individual slow tests inside otherwise-quick modules (measured >30 s each
+# on the 8-device CPU mesh; demoted to keep `-m quick` inside its 5-minute
+# promise — the quick tier measured 7m49s with them, ~4m40s without)
+HEAVY_TESTS = {
+    "test_bench_supervisor.py::test_total_failure_emits_staged_sentinel",
+    "test_losses.py::test_loss_dtype_knob_keeps_params_fp32",
+    "test_losses.py::test_visualize_disc_logits_zero_size_logit_map",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        module = item.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
-        tier = "heavy" if module in HEAVY_MODULES else "quick"
+        tail = item.nodeid.rsplit("/", 1)[-1]
+        module = tail.split("::")[0].removesuffix(".py")
+        base_id = tail.split("[")[0]
+        tier = ("heavy" if module in HEAVY_MODULES or base_id in HEAVY_TESTS
+                else "quick")
         item.add_marker(getattr(pytest.mark, tier))

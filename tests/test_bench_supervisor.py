@@ -17,7 +17,8 @@ import time
 
 import pytest
 
-pytestmark = pytest.mark.quick
+# no module-level tier mark: conftest assigns quick, except the total-failure
+# sentinel test (HEAVY_TESTS — its staged worker retries take ~2 minutes)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(ROOT, "bench.py")

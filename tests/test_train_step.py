@@ -200,3 +200,67 @@ def test_lr_g_factor_scales_generator_updates():
         results.append(np.abs(p1 - p0).max())
     # adam's first step is +-lr * sign-ish: halving lr halves the step
     np.testing.assert_allclose(results[1], results[0] * 0.5, rtol=1e-3)
+
+
+def _replicated_state(builder, mesh, seed=0):
+    state = builder.init_state(jax.random.PRNGKey(seed), _batch())
+    P = jax.sharding.PartitionSpec
+    return state.replace(
+        engine_params=replicate(mesh, state.engine_params),
+        loss_params=replicate(mesh, state.loss_params),
+        ae_opt_state=replicate(mesh, state.ae_opt_state),
+        disc_opt_state=replicate(mesh, state.disc_opt_state),
+        duals=replicate(mesh, state.duals),
+        rng=jax.device_put(state.rng, jax.sharding.NamedSharding(mesh, P())),
+        step=jax.device_put(state.step, jax.sharding.NamedSharding(mesh, P())),
+    )
+
+
+def test_bf16_grad_allreduce_knob():
+    """grad_allreduce_dtype=bf16 reduces DP gradient partial sums in bf16.
+
+    Mechanism check (docs/architecture.md disc-phase mitigation): a plain
+    astype AFTER jax.grad cannot move the GSPMD all-reduce to bf16 — the
+    partitioner resolves the partial sum at the wgrad dot, in fp32.  The
+    knob routes grads through an explicit-sharding `unreduced` region, so
+    the cast happens before the cross-chip sum.  On CPU the backend's
+    AllReducePromotion pass widens the wire dtype back to f32, so this test
+    pins the *semantics* (bf16-rounded gradients; params move, stay close
+    to the fp32-reduce trajectory) and the TPU wire dtype is AOT-verified
+    separately (scripts/audit_collectives.py --overlap, v5e topology).
+    """
+    import pytest
+
+    engine = _tiny_engine()
+    ae_opt, disc_opt = make_optimizers(1e-3)
+    mesh = make_mesh({"data": -1})
+
+    with pytest.raises(ValueError):
+        TrainStepBuilder(engine, ae_opt, disc_opt,
+                         grad_allreduce_dtype="bfloat16")
+
+    plain = TrainStepBuilder(engine, ae_opt, disc_opt)
+    knob = TrainStepBuilder(engine, ae_opt, disc_opt,
+                            grad_allreduce_dtype="bfloat16", mesh=mesh,
+                            grad_allreduce_phases=("ae", "disc"))
+    s0 = _replicated_state(plain, mesh, seed=3)
+    s0 = s0.replace(step=jnp.int32(100))  # disc active
+    # the steps donate their state arg: give each call its own copy
+    copies = [jax.tree.map(lambda a: jnp.array(a), s0) for _ in range(3)]
+    with mesh:
+        batch = shard_batch(mesh, _batch(seed=11))
+        sp, logp = plain.disc_step(copies[0], batch)
+        sk, logk = knob.disc_step(copies[1], batch)
+        # identical inputs: the only difference is the grad reduce dtype
+        dp = jax.tree.leaves(sp.loss_params["discriminator"])
+        dk = jax.tree.leaves(sk.loss_params["discriminator"])
+        diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                 for a, b in zip(dp, dk)]
+        assert any(d > 0 for d in diffs), "knob was a no-op"
+        # Adam normalizes per-param scale; bf16 grad rounding (~0.4% rel)
+        # must keep the update within a small fraction of the lr
+        assert max(diffs) < 1e-3 * 0.5
+        assert np.isfinite(float(logk["train/loss/disc"]))
+        # ae phase wired too
+        sa, loga = knob.ae_step(copies[2], batch, disc_active=True)
+        assert np.isfinite(float(loga["train/loss/total"]))

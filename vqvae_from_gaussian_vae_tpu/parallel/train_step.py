@@ -56,17 +56,85 @@ def _get_path(tree, path):
     return tree
 
 
+def _cast_reduce_grads(grads, mesh, dtype):
+    """Reduce data-parallel gradient partial sums in ``dtype`` (bf16 halves
+    the all-reduce wire bytes on a TPU mesh — the disc-phase mitigation named
+    in docs/architecture.md's weak-scaling table).
+
+    GSPMD alone cannot express this: a plain ``astype`` lands AFTER the
+    partitioner resolves the partial sum, so the all-reduce stays fp32
+    (verified in tests/test_train_step.py).  Explicit-sharding ``unreduced``
+    specs move the cast in front of the cross-chip sum: the grads enter the
+    explicit region declared unreduced over ``data``, are cast, and the
+    ``reshard`` to a fully-reduced spec materialises the all-reduce over the
+    cast dtype.  On the TPU backend the collective then rides bf16 (half
+    bytes, AOT-verified against a v5e:4x2 topology); the CPU backend's
+    AllReducePromotion pass widens the wire format back to fp32 but keeps
+    the bf16 rounding semantics, so CPU tests still pin the numerics.
+    """
+    from jax.sharding import PartitionSpec, explicit_axes, reshard
+
+    @explicit_axes(axes="data")
+    def _inner(gs):
+        return jax.tree.map(
+            lambda g: reshard(
+                g.astype(dtype), PartitionSpec(*([None] * g.ndim))
+            ).astype(g.dtype),
+            gs,
+        )
+
+    spec = jax.tree.map(
+        lambda g: PartitionSpec(*([None] * g.ndim), unreduced={"data"}), grads
+    )
+    return _inner(grads, in_sharding=(spec,))
+
+
+class _MeshCtxFn:
+    """Calls a jitted step under ``jax.set_mesh`` (the ambient mesh that
+    explicit-sharding regions inside the step need)."""
+
+    def __init__(self, fn, mesh):
+        self._fn = fn
+        self._mesh = mesh
+
+    def __call__(self, *args, **kwargs):
+        with jax.set_mesh(self._mesh):
+            return self._fn(*args, **kwargs)
+
+    def lower(self, *args, **kwargs):
+        with jax.set_mesh(self._mesh):
+            return self._fn.lower(*args, **kwargs)
+
+
 class TrainStepBuilder:
-    """Builds the jitted ae/disc/eval steps for an AutoencodingEngine."""
+    """Builds the jitted ae/disc/eval steps for an AutoencodingEngine.
+
+    ``grad_allreduce_dtype`` (with ``mesh``) reduces data-parallel gradient
+    partial sums in that dtype (e.g. ``jnp.bfloat16``) instead of fp32 —
+    half the per-step collective bytes for the phase it is applied to
+    (``grad_allreduce_phases``, default disc-only: the disc phase has the
+    highest comm/compute ratio in the weak-scaling model,
+    docs/architecture.md)."""
 
     def __init__(self, engine, ae_opt: optax.GradientTransformation,
-                 disc_opt: optax.GradientTransformation):
+                 disc_opt: optax.GradientTransformation,
+                 grad_allreduce_dtype=None, mesh=None,
+                 grad_allreduce_phases=("disc",)):
         assert engine.loss is not None, "engine was built eval_only / without a loss"
         self.engine = engine
         self.module = engine.module
         self.loss_mod = engine.loss
         self.ae_opt = ae_opt
         self.disc_opt = disc_opt
+        self.grad_allreduce_dtype = (
+            jnp.dtype(grad_allreduce_dtype) if grad_allreduce_dtype else None
+        )
+        self.grad_allreduce_phases = tuple(grad_allreduce_phases)
+        self.mesh = mesh
+        if self.grad_allreduce_dtype is not None:
+            if mesh is None or "data" not in mesh.axis_names:
+                raise ValueError(
+                    "grad_allreduce_dtype needs a mesh with a 'data' axis")
         self.dual_cfg = _dual_config(engine.regularization)
         self.last_layer_path = ("decoder",) + tuple(engine.decoder.last_layer_path())
         self.enc_last_layer_path = ("encoder",) + tuple(engine.encoder.last_layer_path())
@@ -76,6 +144,11 @@ class TrainStepBuilder:
         self.ae_step = jax.jit(self._ae_step, static_argnames=("disc_active",), donate_argnums=(0,))
         self.disc_step = jax.jit(self._disc_step, donate_argnums=(0,))
         self.eval_step = jax.jit(self._eval_step)
+        if self.grad_allreduce_dtype is not None:
+            # explicit_axes needs the ambient mesh, and jax.set_mesh refuses
+            # to run inside a trace — wrap the jit CALL (and .lower)
+            self.ae_step = _MeshCtxFn(self.ae_step, self.mesh)
+            self.disc_step = _MeshCtxFn(self.disc_step, self.mesh)
 
     # ----------------------------------------------------------- pieces
 
@@ -195,6 +268,8 @@ class TrainStepBuilder:
         grads, (log, reg_log) = jax.grad(self._ae_loss, has_aux=True)(
             (state.engine_params, logvar), state, x, sub, disc_active
         )
+        if self.grad_allreduce_dtype is not None and "ae" in self.grad_allreduce_phases:
+            grads = _cast_reduce_grads(grads, self.mesh, self.grad_allreduce_dtype)
         if not self.loss_mod.learn_logvar:
             # mirror the reference's requires_grad=learn_logvar: a phantom
             # logvar grad must not advance the (possibly norm-coupled)
@@ -246,6 +321,8 @@ class TrainStepBuilder:
         xrec = jax.lax.stop_gradient(xrec)
         disc_params = state.loss_params["discriminator"]
         grads, log = jax.grad(self._disc_loss, has_aux=True)(disc_params, state, x, xrec)
+        if self.grad_allreduce_dtype is not None and "disc" in self.grad_allreduce_phases:
+            grads = _cast_reduce_grads(grads, self.mesh, self.grad_allreduce_dtype)
         updates, new_opt = self.disc_opt.update(grads, state.disc_opt_state, disc_params)
         new_disc = optax.apply_updates(disc_params, updates)
         new_state = state.replace(

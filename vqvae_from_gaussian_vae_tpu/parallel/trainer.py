@@ -286,6 +286,10 @@ class Trainer:
 
                 if step % self.log_every == 0:
                     scalars = {k: float(v) for k, v in log.items()}
+                    # GQ dual-variable trajectories (explicit train state here,
+                    # vs the reference's unlogged python floats, gaussian.py:41-43)
+                    for dk, dv in (self.state.duals or {}).items():
+                        scalars[f"duals/{dk}"] = float(dv)
                     scalars["imgs_per_sec"] = imgs_seen / max(time.time() - t0, 1e-9)
                     scalars["lr"] = self.learning_rate  # LearningRateMonitor analog
                     self.scalar_logger.log(scalars, step)
