@@ -1,20 +1,35 @@
 #!/usr/bin/env python
 """Microbench: flash fwd kernel VPU-diet variants at the bsqvit shape.
 
-Round-3 finding: with the head-pipelined fwd at PIPE=2 the steady state is
+Round-3 hypothesis: with the head-pipelined fwd the steady state is
 VPU-bound (per-head softmax ~0.86 us > 0.68 us matmul slot), so the lever
-is VPU work per element, not more pipelining.  Candidates:
+is VPU work per element.  Candidates:
 
   base      current _fwd_kernel (per-row max, exp, convert)
-  pipe3     3-deep head pipeline (expect ~0: already VPU-bound)
   nomax     drop the max-reduce pass; exp(s - C) with a static clamp
             shift (sum rides the matmul, normalization fixes the shift)
   exp2      exp2((s - m) * log2e) in case Mosaic's exp2 is cheaper
   tilemax   one scalar max per (bq, L) tile instead of per row
+  matonly   CONTROL: no softmax at all — the kernel-structure floor
+  chunk     split-L static-shift exp (finer MXU/VPU interleave)
+  sbf16     bf16 score tile off the MXU
 
 Each variant runs the full 12-head kernel at (B=16, L=1024, H=12, D=64)
 bf16 and reports us/layer.  Run on the real chip:
-    python scripts/exp_flash_variants.py
+    python scripts/exp_flash_variants.py base:1 matonly:1 nomax:1 ...
+
+ROUND-4 RESULTS (v5e, idle chip, docs/kernels.md round 4):
+  - `matonly` measures within noise of `base` — the softmax is ALREADY
+    hidden behind the head pipeline at depth 1; there is no VPU meat
+    left for the diet variants to win, and none of them beat base.
+  - pipe depth 2 measured SLOWER than 1 (760.7 vs 825.9 us/layer):
+    the extra live (bq, L) tile costs more scheduling slack than the
+    wider VPU window buys.  The shipped kernel default is depth 1.
+  - `sbf16` is illegal: Mosaic requires 32-bit matmul accumulators
+    ('tpu.matmul' op Expected matmul acc to be 32-bit).
+  - `chunk` crashed the TPU worker process on this stack (kernel
+    fault) — excluded from the default combo list; investigate before
+    ever shipping anything chunk-shaped.
 """
 import functools
 import os
@@ -180,8 +195,10 @@ def run(variant, pipe_depth=2):
 
 if __name__ == "__main__":
     import sys as _sys
-    combos = [("base", 2), ("base", 3), ("chunk", 1), ("chunk", 2),
-              ("sbf16", 2), ("sbf16", 3)]
+    # default combo set: safe variants only (chunk crashes the TPU worker,
+    # sbf16 fails Mosaic verification — see module docstring)
+    combos = [("base", 1), ("matonly", 1), ("nomax", 1), ("exp2", 1),
+              ("tilemax", 1), ("base", 2)]
     if len(_sys.argv) > 1:
         combos = [(v, int(p)) for v, p in
                   (a.rsplit(":", 1) for a in _sys.argv[1:])]

@@ -264,3 +264,23 @@ def test_bf16_grad_allreduce_knob():
         # ae phase wired too
         sa, loga = knob.ae_step(copies[2], batch, disc_active=True)
         assert np.isfinite(float(loga["train/loss/total"]))
+
+
+def test_bf16_grad_allreduce_knob_skips_bf16_compute_phases():
+    """Under bf16 loss compute the backend already reduces bf16 wgrad
+    partials (AOT audit, docs/architecture.md); stacking the knob would
+    double the wire bytes — the builder must warn and skip those phases."""
+    import warnings
+
+    engine = _tiny_engine()
+    # the overlay's loss-path dtype knob (losses/discriminator_loss.py)
+    object.__setattr__(engine.loss, "dtype", jnp.bfloat16)
+    ae_opt, disc_opt = make_optimizers(1e-3)
+    mesh = make_mesh({"data": -1})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        b = TrainStepBuilder(engine, ae_opt, disc_opt,
+                             grad_allreduce_dtype="bfloat16", mesh=mesh,
+                             grad_allreduce_phases=("ae", "disc"))
+    assert b.grad_allreduce_phases == ()
+    assert any("double the wire bytes" in str(x.message) for x in w)

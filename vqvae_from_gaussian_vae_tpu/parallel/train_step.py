@@ -135,6 +135,31 @@ class TrainStepBuilder:
             if mesh is None or "data" not in mesh.axis_names:
                 raise ValueError(
                     "grad_allreduce_dtype needs a mesh with a 'data' axis")
+            # under bf16 COMPUTE the TPU backend already emits the gradient
+            # all-reduces over the bf16 wgrad partials (AOT-audited,
+            # scripts/audit_collectives.py --overlap --full --bf16: ae
+            # 48+126 MB bf16, disc 113+79 MB bf16 with no knob); stacking
+            # the explicit unreduced region on top makes the partitioner
+            # reduce the partials a SECOND time (correct values, 2x wire
+            # bytes).  The knob is for fp32-compute training — the
+            # reference's own precision: 32 mode — where it halves bytes.
+            import warnings
+
+            drop = []
+            loss_bf16 = jnp.dtype(getattr(self.loss_mod, "dtype", jnp.float32)) == jnp.bfloat16
+            eng_bf16 = jnp.dtype(getattr(engine.encoder, "dtype", None)
+                                 or jnp.float32) == jnp.bfloat16
+            if loss_bf16 and "disc" in self.grad_allreduce_phases:
+                drop.append("disc")
+            if (loss_bf16 or eng_bf16) and "ae" in self.grad_allreduce_phases:
+                drop.append("ae")
+            if drop:
+                warnings.warn(
+                    f"grad_allreduce_dtype: phases {drop} already run bf16 "
+                    "compute — their grad collectives ride bf16 natively and "
+                    "the knob would double the wire bytes; skipping them")
+                self.grad_allreduce_phases = tuple(
+                    p for p in self.grad_allreduce_phases if p not in drop)
         self.dual_cfg = _dual_config(engine.regularization)
         self.last_layer_path = ("decoder",) + tuple(engine.decoder.last_layer_path())
         self.enc_last_layer_path = ("encoder",) + tuple(engine.encoder.last_layer_path())
