@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vqvae_from_gaussian_vae_tpu.ops.flash_blc import flash_attention_blc
+from vqvae_from_gaussian_vae_tpu.ops.flash_blc import (
+    flash_attention_blc, flash_attention_qkv)
 
 INTERPRET = jax.default_backend() == "cpu"
 
@@ -100,6 +101,65 @@ def test_pipe_depth_2_matches_einsum(monkeypatch):
         err = float(jnp.max(jnp.abs(
             a.astype(jnp.float32) - b_.astype(jnp.float32))))
         assert err / scale < 2e-2, f"d{name}: rel err {err / scale}"
+
+
+@pytest.mark.parametrize(
+    "b,l,h,d",
+    [
+        (2, 256, 4, 64),    # hpb=2 head groups -> non-trivial k/v offsets
+        (1, 384, 12, 64),   # 6 groups
+        (1, 256, 3, 64),    # hpb=H fallback
+    ],
+)
+def test_packed_qkv_matches_split(b, l, h, d):
+    """flash_attention_qkv on the packed (B, L, 3C) array == split +
+    flash_attention_blc == the einsum oracle (fwd and dqkv)."""
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (b, l, 3 * h * d),
+                            jnp.bfloat16)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    sm = d**-0.5
+    out_p = flash_attention_qkv(qkv, sm, h, INTERPRET)
+    out_s = flash_attention_blc(q, k, v, sm, h, INTERPRET)
+    np.testing.assert_array_equal(np.asarray(out_p, np.float32),
+                                  np.asarray(out_s, np.float32))
+    ref = _einsum_ref(q, k, v, h)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+    def loss(f):
+        return lambda a: (f(a).astype(jnp.float32) ** 2).mean()
+
+    g_p = jax.grad(loss(
+        lambda a: flash_attention_qkv(a, sm, h, INTERPRET)))(qkv)
+    g_ref = jax.grad(loss(lambda a: _einsum_ref(
+        *jnp.split(a, 3, axis=-1), h)))(qkv)
+    scale = float(jnp.max(jnp.abs(g_ref.astype(jnp.float32)))) + 1e-9
+    err = float(jnp.max(jnp.abs(
+        g_p.astype(jnp.float32) - g_ref.astype(jnp.float32))))
+    assert err / scale < 2e-2, f"dqkv rel err {err / scale}"
+
+
+def test_packed_qkv_mesh_batch_sharding():
+    """The packed entry shards over batch on a data mesh like the split
+    entry (its own Shardy rule carries the 3C factor)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    b, l, h, d = 8, 256, 4, 64
+    qkv = jax.random.normal(jax.random.PRNGKey(8), (b, l, 3 * h * d),
+                            jnp.bfloat16)
+    sm = d**-0.5
+    fa = lambda a: flash_attention_qkv(a, sm, h, INTERPRET)
+    single = jax.jit(fa)(qkv)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data", None, None))
+    qs = jax.device_put(qkv, sh)
+    with mesh:
+        out = jax.jit(fa)(qs)
+    assert out.sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(single, np.float32))
 
 
 def test_fp32_forward():

@@ -127,7 +127,6 @@ class MultiheadAttention(nn.Module):
         )
         xc = x.astype(self.dtype)
         qkv = xc @ w_in["kernel"].astype(self.dtype) + w_in["bias"].astype(self.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         _env = __import__("os").environ
         # GVQ_FLASH_INTERPRET=1 runs the Pallas kernel in interpret mode
         # off-TPU (tests compare it against the einsum fallback)
@@ -136,19 +135,22 @@ class MultiheadAttention(nn.Module):
             and jax.default_backend() != "tpu"
         )
         from vqvae_from_gaussian_vae_tpu.ops.flash_blc import (
-            flash_attention_blc, flash_blc_supported)
+            flash_attention_qkv, flash_blc_supported)
 
         use_flash = (
             self.flash
             and attn_mask is None
             and (jax.default_backend() == "tpu" or force_interp)
-            and flash_blc_supported(l, self.n_head, hd, q.dtype)
+            and flash_blc_supported(l, self.n_head, hd, qkv.dtype)
             and _env.get("GVQ_DISABLE_FUSED_KERNELS", "") != "1"
         )
         if use_flash:
-            out = flash_attention_blc(q, k, v, hd ** -0.5, self.n_head,
+            # packed entry: no jnp.split — the kernel's index maps slice
+            # q/k/v out of the projection output in place
+            out = flash_attention_qkv(qkv, hd ** -0.5, self.n_head,
                                       force_interp)
         else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
             qh = q.reshape(b, l, self.n_head, hd)
             kh = k.reshape(b, l, self.n_head, hd)
             vh = v.reshape(b, l, self.n_head, hd)

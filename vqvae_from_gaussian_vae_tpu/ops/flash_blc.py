@@ -39,7 +39,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vqvae_from_gaussian_vae_tpu.ops.partition import batch_axis_of
 
-__all__ = ["flash_attention_blc", "flash_blc_supported", "sdpa_token_major"]
+__all__ = ["flash_attention_blc", "flash_attention_qkv",
+           "flash_blc_supported", "sdpa_token_major"]
 
 _TRANS_B = (((1,), (1,)), ((), ()))  # contract dim1 of both: x @ y^T
 _TRANS_A = (((0,), (0,)), ((), ()))  # contract dim0 of both: x^T @ y
@@ -302,8 +303,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
         dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
 
 
-def _fwd_impl(q, k, v, sm_scale, num_heads, interpret, with_residual):
+def _fwd_impl(q, k, v, sm_scale, num_heads, interpret, with_residual,
+              packed=False):
+    # packed=True: q is k is v is the QKV projection's (B, L, 3*C) output
+    # (the caller passes the SAME array three times); the k/v/q channel
+    # offsets live entirely in the index maps, so the jnp.split the
+    # unpacked API needs — an unfusable 3x(B, L, C) HBM round trip per
+    # layer, 24 x 91 us at the bsqvit e2e shape — never materialises.
     b, l, c = q.shape
+    if packed:
+        c //= 3
     d = c // num_heads
     tiling = _fwd_tiling(l, num_heads, d, jnp.dtype(q.dtype).itemsize)
     if tiling is None:
@@ -314,15 +323,21 @@ def _fwd_impl(q, k, v, sm_scale, num_heads, interpret, with_residual):
     cg = hpb * d
     n_groups = num_heads // hpb
     grid = (b, n_groups, l // block_q)
+    koff = n_groups if packed else 0
+    voff = 2 * n_groups if packed else 0
 
     def q_map(bi, gi, qi):
         return (bi, qi, gi)
 
-    def kv_map(bi, gi, qi):
+    def k_map(bi, gi, qi):
         del qi
-        return (bi, 0, gi)
+        return (bi, 0, koff + gi)
 
-    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    def v_map(bi, gi, qi):
+        del qi
+        return (bi, 0, voff + gi)
+
+    out_shape = jax.ShapeDtypeStruct((b, l, c), q.dtype)
     out_specs = pl.BlockSpec((1, block_q, cg), q_map)
     if with_residual:
         # per-(row, head) log-normalizer z = m + ln(sum): lane = head
@@ -345,8 +360,8 @@ def _fwd_impl(q, k, v, sm_scale, num_heads, interpret, with_residual):
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_q, cg), q_map),
-                pl.BlockSpec((1, l, cg), kv_map),
-                pl.BlockSpec((1, l, cg), kv_map),
+                pl.BlockSpec((1, l, cg), k_map),
+                pl.BlockSpec((1, l, cg), v_map),
             ],
             out_specs=out_specs,
         ),
@@ -366,6 +381,16 @@ def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
 
 def _fwd_res_call(q, k, v, sm_scale, num_heads, interpret):
     return _fwd_impl(q, k, v, sm_scale, num_heads, interpret, True)
+
+
+def _fwd_call_packed(qkv, sm_scale, num_heads, interpret):
+    return _fwd_impl(qkv, qkv, qkv, sm_scale, num_heads, interpret, False,
+                     packed=True)
+
+
+def _fwd_res_call_packed(qkv, sm_scale, num_heads, interpret):
+    return _fwd_impl(qkv, qkv, qkv, sm_scale, num_heads, interpret, True,
+                     packed=True)
 
 
 def _fwd_hpb(l, num_heads, d, esize):
@@ -391,7 +416,20 @@ def _einsum_bwd(q, k, v, do, sm_scale, num_heads):
 
 
 def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
+    return _bwd_impl(q, k, v, o, z, do, sm_scale, num_heads, interpret,
+                     False)
+
+
+def _bwd_call_packed(qkv, o, z, do, sm_scale, num_heads, interpret):
+    return _bwd_impl(qkv, qkv, qkv, o, z, do, sm_scale, num_heads, interpret,
+                     True)
+
+
+def _bwd_impl(q, k, v, o, z, do, sm_scale, num_heads, interpret, packed):
+    # packed=True: q is k is v is the (B, L, 3*C) QKV array (see _fwd_impl)
     b, l, c = q.shape
+    if packed:
+        c //= 3
     d = c // num_heads
     esize = jnp.dtype(q.dtype).itemsize
     fwd_hpb = _fwd_hpb(l, num_heads, d, esize)
@@ -423,10 +461,15 @@ def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
         # shapes whose whole-L k/v rows can't share VMEM with the score
         # tiles (very long sequences): fall back to the XLA einsum VJP —
         # numerically the same gradient, just without the kernel
+        if packed:
+            q, k, v = jnp.split(q, 3, axis=-1)
         return _einsum_bwd(q, k, v, do, sm_scale, num_heads)
     cg = hpb * d
     nq = l // block_q
     grid = (b, num_heads // hpb, nq)
+    n_groups = num_heads // hpb
+    koff = n_groups if packed else 0
+    voff = 2 * n_groups if packed else 0
 
     def q_map(bi, gi, qi):
         return (bi, qi, gi)
@@ -437,6 +480,12 @@ def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
 
     q_spec = pl.BlockSpec((1, block_q, cg), q_map)
     kv_spec = pl.BlockSpec((1, l, cg), kv_map)
+    qin_spec = pl.BlockSpec((1, block_q, cg),
+                            lambda bi, gi, qi: (bi, qi, gi))
+    kin_spec = pl.BlockSpec((1, l, cg),
+                            lambda bi, gi, qi: (bi, 0, koff + gi))
+    vin_spec = pl.BlockSpec((1, l, cg),
+                            lambda bi, gi, qi: (bi, 0, voff + gi))
     z_spec = pl.BlockSpec((1, block_q, z_width),
                           lambda bi, gi, qi: (bi, qi, 0))
 
@@ -447,7 +496,7 @@ def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec, q_spec, z_spec, q_spec],
+            in_specs=[qin_spec, kin_spec, vin_spec, q_spec, z_spec, q_spec],
             out_specs=[q_spec, kv_spec, kv_spec],
             scratch_shapes=[
                 pltpu.VMEM((l, cg), jnp.float32),
@@ -455,9 +504,9 @@ def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((b, l, c), q.dtype),
+            jax.ShapeDtypeStruct((b, l, c), k.dtype),
+            jax.ShapeDtypeStruct((b, l, c), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -477,7 +526,8 @@ def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
 # --------------------------------------------------------------------------
 
 
-def _make_batch_cp(impl, n_arrays, n_out=1, z_args=(), z_outs=()):
+def _make_batch_cp(impl, n_arrays, n_out=1, z_args=(), z_outs=(),
+                   c3_args=()):
     cp = custom_partitioning(
         impl, static_argnums=(n_arrays, n_arrays + 1, n_arrays + 2))
 
@@ -504,14 +554,19 @@ def _make_batch_cp(impl, n_arrays, n_out=1, z_args=(), z_outs=()):
         return (mesh, lower, out_sh if n_out > 1 else out_sh[0],
                 _shardings(mesh, b_ax, n_arrays))
 
-    # the z residual's lane width (128 * fwd groups) differs from c, so it
-    # carries its own Shardy factor — same batch/seq factors, replicated
-    # tail like everything else
-    dims = tuple(("b", "l", "z" if i in z_args else "c")
+    # the z residual's lane width (128 * fwd groups) and the packed QKV's
+    # 3*C channel axis differ from c, so each carries its own Shardy
+    # factor — same batch/seq factors, replicated tail like everything else
+    def _feat(i, in_z, in_c3):
+        return "z" if i in in_z else ("c3" if i in in_c3 else "c")
+
+    dims = tuple(("b", "l", _feat(i, z_args, c3_args))
                  for i in range(n_arrays))
-    out_dims = tuple(("b", "l", "z" if i in z_outs else "c")
+    out_dims = tuple(("b", "l", _feat(i, z_outs, ()))
                      for i in range(n_out))
-    need_rep = ("l", "c") + (("z",) if (z_args or z_outs) else ())
+    # Shardy wants special factors listed in first-appearance order
+    seen = list(dict.fromkeys(f for d in dims + out_dims for f in d))
+    need_rep = tuple(f for f in seen if f != "b")
     rule = SdyShardingRule(dims, out_dims,
                            need_replication_factors=need_rep)
     cp.def_partition(partition, infer_sharding_from_operands=infer,
@@ -522,6 +577,11 @@ def _make_batch_cp(impl, n_arrays, n_out=1, z_args=(), z_outs=()):
 _FWD_CP = _make_batch_cp(_fwd_call, 3)
 _FWD_RES_CP = _make_batch_cp(_fwd_res_call, 3, n_out=2, z_outs=(1,))
 _BWD_CP = _make_batch_cp(_bwd_call, 6, n_out=3, z_args=(4,))
+_FWD_P_CP = _make_batch_cp(_fwd_call_packed, 1, c3_args=(0,))
+_FWD_RES_P_CP = _make_batch_cp(_fwd_res_call_packed, 1, n_out=2,
+                               z_outs=(1,), c3_args=(0,))
+_BWD_P_CP = _make_batch_cp(_bwd_call_packed, 4, n_out=3, z_args=(2,),
+                           c3_args=(0,))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -552,3 +612,38 @@ def _vjp_bwd(sm_scale, num_heads, interpret, res, do):
 
 
 flash_attention_blc.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def flash_attention_qkv(qkv, sm_scale: float, num_heads: int,
+                        interpret: bool = False):
+    """Flash attention straight off the packed QKV projection output.
+
+    ``qkv`` is the ``(B, L, 3*H*D)`` array a packed in_proj produces
+    (q | k | v along the channel axis, torch nn.MultiheadAttention
+    layout, reference vit.py:86).  Equivalent to splitting and calling
+    :func:`flash_attention_blc`, but the q/k/v channel offsets live in
+    the kernel's BlockSpec index maps, so the ``jnp.split`` — an
+    unfusable 3x(B, L, C) HBM round trip per layer that XLA keeps as a
+    standalone copy fusion, measured 24 x 91 us = 2.2 ms of the 51 ms
+    bsqvit e2e step — never materialises.  Same shape rules as
+    flash_attention_blc (L % 128 == 0, D % 8 == 0, one head group's k/v
+    rows fit VMEM).
+    """
+    return _FWD_P_CP(qkv, sm_scale, num_heads, interpret)
+
+
+def _vjp_fwd_qkv(qkv, sm_scale, num_heads, interpret):
+    o, zres = _FWD_RES_P_CP(qkv, sm_scale, num_heads, interpret)
+    return o, (qkv, o, zres)
+
+
+def _vjp_bwd_qkv(sm_scale, num_heads, interpret, res, do):
+    qkv, o, zres = res
+    dq, dk, dv = _BWD_P_CP(qkv, o, zres, do, sm_scale, num_heads, interpret)
+    # the packed projection's AD needs one (B, L, 3C) cotangent; XLA fuses
+    # this concat into the dq/dk/dv consumers' epilogues where possible
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+flash_attention_qkv.defvjp(_vjp_fwd_qkv, _vjp_bwd_qkv)
