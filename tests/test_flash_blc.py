@@ -74,10 +74,10 @@ def test_gradients_match_einsum():
 
 
 def test_pipe_depth_2_matches_einsum(monkeypatch):
-    """The 2-deep head pipelines (GVQ_FLASH_{FWD,BWD}_PIPE=2) only reorder
-    instructions — fwd output and all three gradients must match the
-    einsum reference exactly as the default depth does."""
-    monkeypatch.setenv("GVQ_FLASH_FWD_PIPE", "2")
+    """The 2-deep bwd head pipeline (GVQ_FLASH_BWD_PIPE=2) only reorders
+    instructions — all three gradients must match the einsum reference as
+    the default depth does.  (The fwd knob was deleted: the round-4
+    variant lab measured depth 2 slower; depth 1 is hard-coded.)"""
     monkeypatch.setenv("GVQ_FLASH_BWD_PIPE", "2")
     b, l, h, d = 2, 256, 12, 64
     q, k, v = _inputs(b, l, h * d)

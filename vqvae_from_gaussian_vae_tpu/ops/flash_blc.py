@@ -132,8 +132,7 @@ def _pow2(x: float) -> bool:
     return x > 0 and math.log2(x).is_integer()
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads,
-                pipe_depth=1):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads):
     q = q_ref[0]  # (block_q, heads * D)
     k = k_ref[0]  # (L, heads * D)
     v = v_ref[0]
@@ -187,23 +186,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads,
     # software-pipeline the head loop: issue head h+1's QK^T/softmax
     # before head h's AV matmul so the VPU softmax overlaps MXU work
     # (measured at the bsqvit shape: 0.82 -> 0.65 ms, 32% -> 40% of peak).
-    # pipe_depth=2 gives head h's VPU a two-matmul window (AV(h-1) +
-    # QK^T(h+1)) for one extra live (bq, L) probability tile
-    if pipe_depth >= 2 and heads >= 3:
-        s0, s1 = _probs(0), _probs(1)
-        for h in range(2, heads):
-            cur = _probs(h)
-            _emit(h - 2, *s0)
-            s0, s1 = s1, cur
-        _emit(heads - 2, *s0)
-        _emit(heads - 1, *s1)
-    else:
-        prev = _probs(0)
-        for h in range(1, heads):
-            cur = _probs(h)
-            _emit(h - 1, *prev)
-            prev = cur
-        _emit(heads - 1, *prev)
+    # Depth 1 is the decided depth: the round-4 variant lab measured a
+    # 2-deep pipeline SLOWER (the extra live (bq, L) tile costs more
+    # scheduling slack than the wider VPU window buys) and a no-softmax
+    # control within noise of this kernel — the VPU work is already
+    # hidden (scripts/exp_flash_variants.py, docs/kernels.md round 4).
+    prev = _probs(0)
+    for h in range(1, heads):
+        cur = _probs(h)
+        _emit(h - 1, *prev)
+        prev = cur
+    _emit(heads - 1, *prev)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
@@ -346,15 +339,8 @@ def _fwd_impl(q, k, v, sm_scale, num_heads, interpret, with_residual,
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, l, 128 * n_groups), jnp.float32)]
         out_specs = [out_specs, pl.BlockSpec((1, block_q, 128), q_map)]
-    import os
-    # experimental knob: pipeline depth only reorders instructions (the
-    # extra live tile fits the existing headroom at the shipped shapes);
-    # tiling selection stays env-independent so the bwd's z-lane mapping
-    # (fwd_hpb) is deterministic
-    pipe_depth = int(os.environ.get("GVQ_FLASH_FWD_PIPE", "1"))
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale, heads=hpb,
-                          pipe_depth=pipe_depth),
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, heads=hpb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -369,8 +355,7 @@ def _fwd_impl(q, k, v, sm_scale, num_heads, interpret, with_residual,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-        name=f"flash_blc_fwd_h{hpb}_bq{block_q}"
-             + (f"_p{pipe_depth}" if pipe_depth > 1 else ""),
+        name=f"flash_blc_fwd_h{hpb}_bq{block_q}",
         interpret=interpret,
     )(q, k, v)
 
