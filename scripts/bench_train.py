@@ -144,9 +144,12 @@ def main():
         }), flush=True)
 
     if profile_dir:
-        with jax.profiler.trace(profile_dir):
+        # separate captures so trace_buckets.py can attribute per phase
+        with jax.profiler.trace(os.path.join(profile_dir, "ae")):
             for _ in range(3):
                 state, log = ae_fn(state, batch_dev)
+            _ = np.asarray(log[next(iter(log))])
+        with jax.profiler.trace(os.path.join(profile_dir, "disc")):
             for _ in range(3):
                 state, log = builder.disc_step(state, batch_dev)
             _ = np.asarray(log[next(iter(log))])

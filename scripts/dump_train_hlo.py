@@ -4,10 +4,18 @@ offline bandwidth-floor auditing (scripts/audit_fusion_bytes.py).
 
 Usage:
   BENCH_CONFIG=sd3unet_gq_0.25 python scripts/dump_train_hlo.py /tmp/hlo_unet
+  JAX_PLATFORMS=cpu DUMP_AOT=v5e:2x2 python scripts/dump_train_hlo.py /tmp/hlo
 
 Writes <out>/ae.hlo.txt and <out>/disc.hlo.txt.  On the axon platform the
 compile runs over the tunnel (TPU-true fusion decisions); off-TPU the CPU
 compiler's fusions differ — only use TPU dumps for floor accounting.
+
+DUMP_AOT=<topology> compiles against a TPU topology DESCRIPTOR instead of
+live chips (works with the tunnel down; same machinery as
+audit_collectives --overlap): params init on the host platform, then the
+steps are lowered with fully-replicated ShapeDtypeStructs on the topology
+mesh, so every device's program is the whole single-chip computation —
+the right dump for single-chip floor accounting.
 """
 
 import os
@@ -48,6 +56,19 @@ def main():
 
     ae = jax.jit(lambda s, b: builder.ae_step(s, b, disc_active=True))
     disc = jax.jit(builder.disc_step)
+
+    topo_name = os.environ.get("DUMP_AOT")
+    if topo_name:
+        from jax.experimental import topologies
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        topo = topologies.get_topology_desc(topo_name, "tpu")
+        mesh = Mesh(np.array(topo.devices).reshape(-1), ("data",))
+        rep = NamedSharding(mesh, P())
+        sds = lambda t: jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep), t)
+        state, batch_dev = sds(state), sds(batch_dev)
+
     for name, fn in (("ae", ae), ("disc", disc)):
         txt = fn.lower(state, batch_dev).compile().as_text()
         path = os.path.join(out_dir, f"{name}.hlo.txt")

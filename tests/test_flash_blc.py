@@ -73,12 +73,12 @@ def test_gradients_match_einsum():
         assert err / scale < 2e-2, f"d{name}: rel err {err / scale}"
 
 
-def test_pipe_depth_2_matches_einsum(monkeypatch):
-    """The 2-deep bwd head pipeline (GVQ_FLASH_BWD_PIPE=2) only reorders
-    instructions — all three gradients must match the einsum reference as
-    the default depth does.  (The fwd knob was deleted: the round-4
-    variant lab measured depth 2 slower; depth 1 is hard-coded.)"""
-    monkeypatch.setenv("GVQ_FLASH_BWD_PIPE", "2")
+def test_pipe_depth_2_matches_einsum():
+    """The bwd's 2-deep head pipeline (the shipped default after the
+    round-4 measurement; the fwd's 2-deep variant measured slower and was
+    deleted) only reorders instructions — fwd output and all three
+    gradients must match the einsum reference.  h=12 -> bwd hpb >= 3
+    exercises the depth-2 branch; h=2 below covers the depth-1 fallback."""
     b, l, h, d = 2, 256, 12, 64
     q, k, v = _inputs(b, l, h * d)
     sm = d**-0.5
@@ -86,6 +86,28 @@ def test_pipe_depth_2_matches_einsum(monkeypatch):
     ref = _einsum_ref(q, k, v, h)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2)
+
+    def loss(f):
+        return lambda q, k, v: (f(q, k, v).astype(jnp.float32) ** 2).mean()
+
+    g_ref = jax.grad(loss(lambda q, k, v: _einsum_ref(q, k, v, h)),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(
+        loss(lambda q, k, v: flash_attention_blc(q, k, v, sm, h, INTERPRET)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, a, b_ in zip("qkv", g_ref, g_ker):
+        scale = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) + 1e-9
+        err = float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b_.astype(jnp.float32))))
+        assert err / scale < 2e-2, f"d{name}: rel err {err / scale}"
+
+
+def test_bwd_depth1_fallback_matches_einsum():
+    """hpb=2 (< 3 heads per block) takes the bwd's depth-1 loop."""
+    b, l, h, d = 2, 256, 2, 64
+    q, k, v = _inputs(b, l, h * d)
+    sm = d**-0.5
 
     def loss(f):
         return lambda q, k, v: (f(q, k, v).astype(jnp.float32) ** 2).mean()

@@ -202,7 +202,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads):
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
                 *, sm_scale, heads, num_q_blocks, num_groups, fwd_hpb,
-                pipe_depth=1):
+                pipe_depth=2):
     q_idx = pl.program_id(2)
     g_idx = 0 if num_groups == 1 else pl.program_id(1)
 
@@ -273,7 +273,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
     # overlaps head h's three gradient matmuls (MXU); measured 1.71 ->
     # 1.61 ms at the bsqvit shape.  pipe_depth=2 spaces the dependence
     # two heads apart (VPU of h hides under FIVE matmuls instead of
-    # three) at the cost of one extra live (bq, L) p/ds pair in VMEM.
+    # three) at the cost of one extra live (bq, L) p/ds pair in VMEM —
+    # the decided default: bsqvit GAN ae step 199.9 -> 197.1 ms at
+    # bs=16 bf16 (pair 118.4 -> 120.2 img/s, round 4; the FORWARD's
+    # 2-deep variant measured slower and was deleted).
     if pipe_depth >= 2 and heads >= 3:
         s0, s1 = _probs_ds(0), _probs_ds(1)
         for h in range(2, heads):
@@ -421,15 +424,10 @@ def _bwd_impl(q, k, v, o, z, do, sm_scale, num_heads, interpret, packed):
     z_width = z.shape[-1]
     # Joint VMEM search for the pipelined backward: fp32 dk/dv
     # accumulators + ~5 live fp32 (block_q, L) score/gradient tiles +
-    # double-buffered k/v input tiles.  At the bsqvit bf16 shape this
-    # picks hpb=6/bq=256, the shipped config that benchmarked at pair
-    # 112.4 img/s in vivo (the standalone sweep's hpb=4/bq=256 measured
-    # the same within noise: 1.61 vs 1.63 ms).
-    import os
-    pipe_depth = int(os.environ.get("GVQ_FLASH_BWD_PIPE", "1"))
-    # depth-2 keeps one extra live (bq, L) p/ds pair (bf16 = one fp32
-    # tile equivalent) in the estimate
-    live_tiles = 5 + (1 if pipe_depth >= 2 else 0)
+    # the 2-deep pipeline's extra live (bq, L) p/ds pair +
+    # double-buffered k/v input tiles.
+    pipe_depth = 2
+    live_tiles = 6
     hpb, block_q = None, None
     for g in reversed(_aligned_groups(num_heads, d)):
         for bq in (512, 256, 128, 64):
