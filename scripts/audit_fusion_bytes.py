@@ -57,9 +57,13 @@ def main():
     # entry computation: the block after `ENTRY %... {` until its closing
     m = re.search(r"ENTRY [^\{]*\{(.*)", text, re.S)
     body = m.group(1) if m else text
-    # per-instruction: %name = <shape(s)> op-name(operand list ...)
+    # per-instruction: %name = <shape(s)> op-name(operand list ...).
+    # Shapes may carry tiled-layout annotations (f32[8]{0:T(8,128)(2,1)S(1)})
+    # and tuple shapes nest parens — the shape class admits ():  and the
+    # op-name anchor requires preceding whitespace (layouts contain none).
     inst_re = re.compile(
-        r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^)]*\)|[\w\[\],{}\s/]+?))\s+"
+        r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*"
+        r"((?:\((?:[^()]|\([^)]*\))*\)|[\w\[\],{}():\s/*]+?))\s+"
         r"([\w\-]+)\(")
     lines = body.splitlines()
     shapes = {}
@@ -76,7 +80,18 @@ def main():
     op_bytes = defaultdict(float)
     op_cnt = defaultdict(int)
     class_rx = [(c, re.compile(rx, re.I)) for c, rx in CLASSES]
+    # Bookkeeping ops move no HBM bytes; async copy/slice pairs move their
+    # payload once (count 2x the DONE's output: one read + one write; the
+    # START's tuple shape double-counts src+dst and the sync flag).
+    free_ops = {"get-tuple-element", "tuple", "bitcast", "parameter",
+                "constant", "copy-start", "slice-start", "after-all"}
     for name, op, out_b, line in rows:
+        if op in free_ops:
+            continue
+        if op in ("copy-done", "slice-done"):
+            op_bytes["copy/transpose"] += 2 * out_b
+            op_cnt["copy/transpose"] += 1
+            continue
         operands = re.findall(r"%([\w.\-]+)", line)
         in_b = sum(shapes.get(o, 0) for o in operands if o != name)
         label = op

@@ -170,6 +170,16 @@ def main():
             enc_cfg, trainable=False)
     else:
         fl = F.gan_train_step_flops(enc_cfg, img=256, ndf=160, n_layers=6)
+        # Achievable ceiling: the FLOP roofline ignores GroupNorm traffic.
+        # Round-4 trace calibration (docs/kernels.md): in fwd-only graphs
+        # the GN stats+normalize ride the conv fusions' epilogues (~1
+        # exposed bandwidth pass over the activations); the ae backward
+        # adds unfusable re-reads of x and dy (~2 more passes).  Charged
+        # as FLOP-equivalents at peak/HBM_BW bytes-to-flops.
+        gn_bytes = F.unet_groupnorm_elems(enc_cfg) * 2  # bf16
+        byte_flops = F.TPU_PEAKS["v5e_bf16"] / F.TPU_HBM_BW["v5e"]
+        extra["ae_step"] = 3 * gn_bytes * byte_flops
+        extra["disc_step"] = 1 * gn_bytes * byte_flops
     extra["pair_avg"] = (extra["ae_step"] + extra["disc_step"]) / 2.0
     peak = F.TPU_PEAKS["v5e_bf16"]
     pair_ms = (ae_ms + disc_ms) / 2.0
