@@ -115,8 +115,10 @@ def main():
         "training.image_logger.max_images=4",
         "training.checkpoint.every_n_train_steps=100000",
     ]
+    # main.py's --base is nargs="*": both configs after ONE flag (a second
+    # --base would REPLACE the first, not append)
     base_args = ["--base", "configs/sd3unet_gq_0.25.yaml",
-                 "--base", "configs/overlays/bf16_compute.yaml",
+                 "configs/overlays/bf16_compute.yaml",
                  "--logdir", logroot, "--name", "sustained", "--no-test",
                  "--max_steps", str(args.steps)] + overrides
 
@@ -188,7 +190,9 @@ def main():
     seg1_rows = read_csv(os.path.join(work, "metrics_segment1.csv"))
     seg2_rows = read_csv(csv_path)
     final = int(seg2_rows[-1]["step"])
-    assert final >= args.steps - 2, f"resume stopped early at {final}"
+    # the CSV logs every log_every_n_steps (5): the last row of a
+    # 300-step run is step 295
+    assert final >= args.steps - 6, f"resume stopped early at {final}"
     # resume continuity: segment 2 must CONTINUE from the melk checkpoint,
     # not restart from zero
     assert int(seg2_rows[0]["step"]) >= seg1_last - 5, (
