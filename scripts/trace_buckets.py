@@ -41,12 +41,19 @@ RULES = {
     ],
     "unet": [
         ("GQ search", r"gq_(topk|search|argmax)|gq_pallas"),
-        ("fused resample", r"(up|down)sample|resample"),
+        ("fused resample fwd", r"_(up|down)sample_conv"),
+        ("fused resample dgrad", r"_(up|down)sample_dgrad"),
+        ("fused resample wgrad", r"_(up|down)sample_wgrad"),
         ("flash", r"flash_blc"),
-        ("convolutions", r"^%?conv"),
-        ("copies/reshapes", r"^%?(copy|bitcast|transpose|reshape)"),
-        ("norm/elementwise fusions", r"^%?(reduce|convert|select)"),
-        ("matmul/conv fusions", r"^%?(fusion|dot|custom-call)"),
+        # conv wgrads emit (tuples of) f32[k,k,Cin,Cout] filter grads
+        ("conv wgrad fusions", r"= \(?f32\[[13],[13],\d+,\d+\]"),
+        # fwd conv fusions rooted at the next GroupNorm's stats reduce
+        # emit (f32[B,C] sum, f32[B,C] sumsq, bf16 activation) tuples
+        ("conv+GN-stats megafusions", r"= \(f32\[\d+\]\{0|= \(f32\[\d+,\d+\]\{1,0"),
+        ("plain conv fusions", r"^%?conv"),
+        ("copies/reshapes", r"^%?(copy|bitcast|transpose|reshape|slice)"),
+        ("other fusions (dgrad/elementwise/matmul)",
+         r"^%?(fusion|dot|custom-call|reduce|convert|select|add|multiply|sub|broadcast)"),
     ],
 }
 
@@ -85,8 +92,17 @@ def main():
     rules = [(b, re.compile(rx, re.I)) for b, rx in RULES[args.rules]]
     btot, bcnt = defaultdict(float), defaultdict(int)
     unmatched = defaultdict(float)
+    # Trace op names carry the whole instruction text; cut at the operand
+    # list (the first paren opening a typed/%-prefixed operand) so rules
+    # match the defining op only — otherwise a fusion CONSUMING e.g. an
+    # _upsample_conv output leaks into the resample bucket.  Layout parens
+    # like T(8,128) don't match the lookahead and survive.
+    # (?<=\w): the operand paren directly follows the opcode word; a
+    # TUPLE shape's paren follows "= " and keeps its shape in the head
+    head_cut = re.compile(
+        r"(?<=\w)\((?=%|bf16|f32|f16|s32|u32|s16|u16|s8|u8|pred)")
     for name, ms in tot.items():
-        stripped = name.lstrip("%")
+        stripped = head_cut.split(name.lstrip("%"), maxsplit=1)[0]
         for bucket, rx in rules:
             if rx.search(stripped):
                 btot[bucket] += ms
