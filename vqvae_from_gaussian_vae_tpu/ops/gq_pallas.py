@@ -85,12 +85,13 @@ def gq_argmax_pallas(
     b: jax.Array,
     block_r: int = 512,
     block_n: int = 8192,
-    sub_n: int = 2048,
+    sub_n: int = 4096,
     interpret: bool = False,
 ) -> jax.Array:
-    # (block_r, block_n) from a v5e sweep at the production shape
-    # (16384 x 65536 x group 16); sub_n is the software-pipeline tile —
-    # see scripts/tune_gq_kernel.py
+    # (block_r, block_n, sub_n) from v5e sweeps at the production shape
+    # (16384 x 65536 x group 16): round-4 re-sweep measured sub_n=4096
+    # ~7% faster than 2048 (3.18 vs 3.43 ms incl. dispatch) — see
+    # scripts/tune_gq_kernel.py
     """argmax_n (A @ B)[r, n] -> (R,) int32, without materialising A @ B.
 
     a: (R, K) float32, b: (K, N) float32.  K is small (2*group, e.g. 32).
