@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Microbench: flash BWD kernel tilings at the bsqvit shape.
+
+The shipped backward picks its (heads-per-block, block_q) by a VMEM
+budget search (ops/flash_blc.py:_bwd_impl) that walks groups widest
+first; with the 2-deep pipeline's extra live tile the search lands on
+hpb=6/bq=128 and never *tries* hpb=4/bq=256 or hpb=2/bq=512.  This lab
+times explicit (hpb, bq, pipe) combos of the SAME kernel body on random
+data and parity-checks dq/dk/dv against the einsum VJP, so the shipped
+search can be re-pinned on measurements rather than the estimate.
+
+Run on the idle chip:
+    python scripts/exp_flash_bwd_variants.py            # default combos
+    python scripts/exp_flash_bwd_variants.py 6:128:2 4:256:2 2:512:2
+
+ROUND-4 RESULTS (v5e, B=16 L=1024 H=12 D=64 bf16, us/layer, best of 3):
+    see docstring updates after the run.
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vqvae_from_gaussian_vae_tpu.ops import flash_blc as F
+
+B, L, H, D = 16, 1024, 12, 64
+SCALE = D ** -0.5
+
+
+def run(hpb, block_q, pipe_depth):
+    c = H * D
+    esize = 2
+    fwd_hpb = F._fwd_hpb(L, H, D, esize)
+    cg = hpb * D
+    nq = L // block_q
+    grid = (B, H // hpb, nq)
+
+    def q_map(bi, gi, qi):
+        return (bi, qi, gi)
+
+    def kv_map(bi, gi, qi):
+        del qi
+        return (bi, 0, gi)
+
+    q_spec = pl.BlockSpec((1, block_q, cg), q_map)
+    kv_spec = pl.BlockSpec((1, L, cg), kv_map)
+    n_groups_fwd = H // fwd_hpb
+    z_width = 128 * n_groups_fwd
+    z_spec = pl.BlockSpec((1, block_q, z_width), lambda bi, gi, qi: (bi, qi, 0))
+
+    kernel = pl.pallas_call(
+        functools.partial(F._bwd_kernel, sm_scale=SCALE, heads=hpb,
+                          num_q_blocks=nq, num_groups=H // hpb,
+                          fwd_hpb=fwd_hpb, pipe_depth=pipe_depth),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec, z_spec, q_spec],
+            out_specs=[q_spec, kv_spec, kv_spec],
+            scratch_shapes=[
+                pltpu.VMEM((L, cg), jnp.float32),
+                pltpu.VMEM((L, cg), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, L, c), jnp.bfloat16)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        name=f"exp_flash_bwd_h{hpb}_bq{block_q}_p{pipe_depth}",
+    )
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, L, c)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, L, c)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, L, c)), jnp.bfloat16)
+    do = jnp.asarray(rng.standard_normal((B, L, c)), jnp.bfloat16)
+    o, z = F._fwd_res_call(q, k, v, SCALE, H, False)
+
+    LAYERS = int(os.environ.get("EXP_LAYERS", "8"))
+
+    @jax.jit
+    def chain(q, k, v, o, z, do):
+        acc = jnp.float32(0)
+        for i in range(LAYERS):
+            dq, dk, dv = kernel(q, k, v, o, z, do)
+            acc = acc + jnp.float32(dq[0, 0, 0]) + jnp.float32(dk[0, 0, 0]) \
+                + jnp.float32(dv[0, 0, 0])
+            do = (do + dq * 1e-6).astype(do.dtype)  # serialize layers
+        return acc
+
+    np.asarray(chain(q, k, v, o, z, do))
+    best = float("inf")
+    iters = 10
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a = jnp.float32(0)
+        for _ in range(iters):
+            a = a + chain(q, k, v, o, z, do)
+        np.asarray(a)
+        best = min(best, (time.perf_counter() - t0) / iters / LAYERS)
+
+    # parity vs einsum VJP
+    dq, dk, dv = kernel(q, k, v, o, z, do)
+    rq, rk, rv = F._einsum_bwd(q, k, v, do, SCALE, H)
+    err = max(float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+              for a, b in ((dq, rq), (dk, rk), (dv, rv)))
+    print(f"hpb={hpb:2d} bq={block_q:4d} p{pipe_depth}: {best*1e6:8.1f} us/layer"
+          f"  max_err {err:.3e}", flush=True)
+    return best
+
+
+if __name__ == "__main__":
+    combos = [(6, 128, 2), (6, 128, 1), (4, 256, 2), (4, 256, 1),
+              (2, 512, 2), (6, 256, 1), (4, 128, 2), (2, 256, 2)]
+    if len(sys.argv) > 1:
+        combos = [tuple(int(x) for x in a.split(":")) for a in sys.argv[1:]]
+    for hpb, bq, p in combos:
+        try:
+            run(hpb, bq, p)
+        except Exception as e:
+            print(f"hpb={hpb} bq={bq} p{p}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
