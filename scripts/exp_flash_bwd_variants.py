@@ -13,8 +13,19 @@ Run on the idle chip:
     python scripts/exp_flash_bwd_variants.py            # default combos
     python scripts/exp_flash_bwd_variants.py 6:128:2 4:256:2 2:512:2
 
-ROUND-4 RESULTS (v5e, B=16 L=1024 H=12 D=64 bf16, us/layer, best of 3):
-    see docstring updates after the run.
+ROUND-4 RESULTS (v5e, B=16 L=1024 H=12 D=64 bf16, us/layer, best of 3;
+standalone numbers carry ~16% chain-serialization overhead vs in vivo):
+
+    hpb= 6 bq= 128 p2:  1915.5     hpb= 2 bq= 512 p2:  1905.2
+    hpb= 6 bq= 128 p1:  1973.8     hpb= 6 bq= 256 p1:  1810.6
+    hpb= 4 bq= 256 p2:  1830.5     hpb= 4 bq= 128 p2:  1936.6
+    hpb= 4 bq= 256 p1:  1846.8     hpb= 2 bq= 256 p2:  1936.1
+
+Standalone and in-vivo DISAGREE on the top pick ((6,256,p1) standalone
+vs (4,256,p2) in bench_train: ae 196.2 ms vs 199.9) — the shipped
+search is pinned on the in-vivo order: bq=256 first, then widest group,
+2-deep pipeline (ops/flash_blc.py:_bwd_impl).  Always arbitrate tiling
+changes with bench_train, not this lab alone.
 """
 import functools
 import os
