@@ -36,6 +36,13 @@ def get_parser():
     p.add_argument("--lpips_weights", type=str, default="",
                    help="path to the reference's vgg.pth LPIPS checkpoint; converted "
                         "and installed into the frozen perceptual loss at init")
+    p.add_argument("--matmul_precision", type=str, default="",
+                   choices=["", "default", "high", "highest"],
+                   help="jax default_matmul_precision — the TPU analog of the "
+                        "reference's TF32 toggles (main.py:577-587): 'default' "
+                        "= one-bf16-pass fp32 dots (like TF32 on), 'highest' = "
+                        "strict fp32 (like TF32 off).  bf16-compute overlays "
+                        "are unaffected (bf16 dots have one precision)")
     return p
 
 
@@ -90,6 +97,12 @@ def main():
     from vqvae_from_gaussian_vae_tpu.utils.config import load_config
 
     maybe_initialize_distributed()
+
+    if args.matmul_precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
 
     resume_dir = ""
     bases = list(args.base)

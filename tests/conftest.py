@@ -16,7 +16,10 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# GVQ_TEST_TPU=1 runs the suite on the real chip instead (single device;
+# the TPU-only parity tests un-skip, the Pallas kernels run real Mosaic)
+if os.environ.get("GVQ_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 

@@ -185,10 +185,15 @@ def test_packed_qkv_mesh_batch_sharding():
 
 
 def test_fp32_forward():
+    """fp32 operands are the exact-parity path: the kernel forces
+    full-precision MXU passes, so the oracle einsum must run at highest
+    matmul precision too (on TPU the default truncates fp32 dots to one
+    bf16 pass, which is what the bf16 speed path is for)."""
     b, l, h, d = 1, 256, 4, 64
     q, k, v = _inputs(b, l, h * d, jnp.float32)
     out = flash_attention_blc(q, k, v, d**-0.5, h, INTERPRET)
-    ref = _einsum_ref(q, k, v, h)
+    with jax.default_matmul_precision("highest"):
+        ref = jax.jit(lambda q, k, v: _einsum_ref(q, k, v, h))(q, k, v)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5
     )
@@ -211,8 +216,11 @@ def test_attention_module_flash_matches_einsum_fallback(monkeypatch):
     assert leaves["out_proj"]["kernel"].shape == (128, 128)
 
     monkeypatch.setenv("GVQ_FLASH_INTERPRET", "1")
-    out_flash = mod_flash.apply(params, x)
-    out_plain = mod_plain.apply(params, x)
+    # fp32 comparison: pin everything to full matmul precision so the
+    # einsum branch matches the kernel's forced-HIGHEST fp32 path on TPU
+    with jax.default_matmul_precision("highest"):
+        out_flash = jax.jit(mod_flash.apply)(params, x)
+        out_plain = jax.jit(mod_plain.apply)(params, x)
     assert out_flash.shape == x.shape
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_plain),
                                atol=2e-5)

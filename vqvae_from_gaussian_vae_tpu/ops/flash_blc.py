@@ -137,6 +137,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads):
     k = k_ref[0]  # (L, heads * D)
     v = v_ref[0]
     d = q.shape[-1] // heads
+    # fp32 operands are the exact-parity path: force full-precision MXU
+    # passes (the default truncates fp32 dots to one bf16 pass — caught by
+    # the on-TPU parity run; bf16 operands keep the fast single pass)
+    prec = (lax.Precision.HIGHEST if q.dtype == jnp.float32 else None)
     # power-of-two scales (every D = 4^k head) fold into the bf16 q tile
     # EXACTLY (pure exponent shift) — a (bq, D) multiply instead of the
     # (bq, L) fp32 score multiply, 16x less VPU traffic at D=64/L=1024
@@ -152,7 +156,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads):
         sl = slice(h * d, (h + 1) * d)
         qh = q[:, sl] * q.dtype.type(sm_scale) if q_fold else q[:, sl]
         s = lax.dot_general(qh, k[:, sl], _TRANS_B,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
         if not q_fold:
             s *= sm_scale
         m = jnp.max(s, axis=1)[:, None]
@@ -170,12 +175,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads):
         if pad:
             m = aux
             vh = jnp.concatenate([v[:, sl], ones], axis=1)
-            o = lax.dot(p, vh, preferred_element_type=jnp.float32)
+            o = lax.dot(p, vh, preferred_element_type=jnp.float32,
+                        precision=prec)
             inv_sum = 1.0 / o[:, d:d + 1]
             o = o[:, :d]
         else:
             m, inv_sum = aux
-            o = lax.dot(p, v[:, sl], preferred_element_type=jnp.float32)
+            o = lax.dot(p, v[:, sl], preferred_element_type=jnp.float32,
+                        precision=prec)
         o_ref[0, :, sl] = (o * inv_sum).astype(o_ref.dtype)
         if z_ref is not None:
             # log-normalizer residual for the backward: z = m + ln(sum) =
@@ -218,6 +225,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
     o = o_ref[0]
     z = z_ref[0]  # (block_q, >=heads) fp32 log-normalizers from the fwd
     d = q.shape[-1] // heads
+    # fp32 = exact-parity path: full-precision MXU passes (see _fwd_kernel)
+    prec = (lax.Precision.HIGHEST if q.dtype == jnp.float32 else None)
 
     q_fold = _pow2(sm_scale)
 
@@ -227,7 +236,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
         if q_fold:
             qh = qh * qh.dtype.type(sm_scale)
         s = lax.dot_general(qh, kh, _TRANS_B,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
         if not q_fold:
             s *= sm_scale
         # normalized probabilities straight from the fwd's log-normalizer:
@@ -250,7 +260,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
                                  z[:, _lane(gi):_lane(gi) + 1], zcol)
         p = jnp.exp(s - zcol)
         dp = lax.dot_general(doh, vh, _TRANS_B,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
         di = jnp.sum(doh.astype(jnp.float32) * o[:, sl].astype(jnp.float32),
                      axis=1)[:, None]
         ds = p * (dp - di) * sm_scale
@@ -262,11 +273,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
         # (measured 4% slower end-to-end)
         sl = slice(h * d, (h + 1) * d)
         dv_scratch[:, sl] += lax.dot_general(
-            pb, do[:, sl], _TRANS_A, preferred_element_type=jnp.float32)
+            pb, do[:, sl], _TRANS_A, preferred_element_type=jnp.float32,
+            precision=prec)
         dk_scratch[:, sl] += lax.dot_general(
-            dsb, q[:, sl], _TRANS_A, preferred_element_type=jnp.float32)
+            dsb, q[:, sl], _TRANS_A, preferred_element_type=jnp.float32,
+            precision=prec)
         dq_ref[0, :, sl] = lax.dot(
-            dsb, k[:, sl], preferred_element_type=jnp.float32
+            dsb, k[:, sl], preferred_element_type=jnp.float32, precision=prec
         ).astype(dq_ref.dtype)
 
     # software-pipelined like the forward: head h+1's softmax/ds (VPU)
@@ -371,12 +384,28 @@ def _fwd_res_call(q, k, v, sm_scale, num_heads, interpret):
     return _fwd_impl(q, k, v, sm_scale, num_heads, interpret, True)
 
 
+def _packed_groups_aligned(num_heads: int, head_dim: int) -> bool:
+    """Packed mode needs every head-group block to be 128-lane aligned:
+    the 'block equals the whole array dim' escape that legalises the
+    hpb=H fallback for separate (B, L, C) arrays does not exist inside a
+    (B, L, 3C) array (Mosaic rejects the non-multiple block — caught by
+    the on-TPU test run; interpret mode does not enforce it)."""
+    return any((g * head_dim) % 128 == 0
+               for g in range(1, num_heads + 1) if num_heads % g == 0)
+
+
 def _fwd_call_packed(qkv, sm_scale, num_heads, interpret):
+    if not _packed_groups_aligned(num_heads, qkv.shape[-1] // 3 // num_heads):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return _fwd_impl(q, k, v, sm_scale, num_heads, interpret, False)
     return _fwd_impl(qkv, qkv, qkv, sm_scale, num_heads, interpret, False,
                      packed=True)
 
 
 def _fwd_res_call_packed(qkv, sm_scale, num_heads, interpret):
+    if not _packed_groups_aligned(num_heads, qkv.shape[-1] // 3 // num_heads):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return _fwd_impl(q, k, v, sm_scale, num_heads, interpret, True)
     return _fwd_impl(qkv, qkv, qkv, sm_scale, num_heads, interpret, True,
                      packed=True)
 
@@ -409,6 +438,10 @@ def _bwd_call(q, k, v, o, z, do, sm_scale, num_heads, interpret):
 
 
 def _bwd_call_packed(qkv, o, z, do, sm_scale, num_heads, interpret):
+    if not _packed_groups_aligned(num_heads, qkv.shape[-1] // 3 // num_heads):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return _bwd_impl(q, k, v, o, z, do, sm_scale, num_heads, interpret,
+                         False)
     return _bwd_impl(qkv, qkv, qkv, o, z, do, sm_scale, num_heads, interpret,
                      True)
 
