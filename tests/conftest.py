@@ -17,9 +17,15 @@ if "host_platform_device_count" not in flags:
 import jax
 
 # GVQ_TEST_TPU=1 runs the suite on the real chip instead (single device;
-# the TPU-only parity tests un-skip, the Pallas kernels run real Mosaic)
+# the TPU-only parity tests un-skip, the Pallas kernels run real Mosaic).
+# Parity oracles are written against exact fp32 math, so the on-chip run
+# pins strict matmul precision (the reference's TF32-off analog,
+# main.py --matmul_precision highest) — at the TPU default, fp32
+# convs/dots run one bf16 pass and every fp32 comparison drifts.
 if os.environ.get("GVQ_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import sys
 

@@ -48,11 +48,15 @@ class VQQuantizer(nn.Module):
         # (B*L, dim, codebook_num): strided channel split, like torch .view
         zf = zt.reshape(-1, self.dim, self.codebook_num)
         e = self.embedding
-        # d[r, n, i] = ||z_ri - e_n||^2, batched over sub-codebooks via one einsum
+        # d[r, n, i] = ||z_ri - e_n||^2, batched over sub-codebooks via one
+        # einsum.  HIGHEST precision: the argmin INDEX is the output — at
+        # the TPU default (one-bf16-pass fp32 dots) near-ties flip vs the
+        # reference's torch fp32 indices (caught by the on-TPU suite run)
         d = (
             jnp.sum(zf**2, axis=1)[:, None, :]
             + jnp.sum(e**2, axis=1)[None, :, None]
-            - 2.0 * jnp.einsum("rdi,nd->rni", zf, e)
+            - 2.0 * jnp.einsum("rdi,nd->rni", zf, e,
+                               precision=jax.lax.Precision.HIGHEST)
         )
         idx = jnp.argmin(d, axis=1)  # (B*L, codebook_num)
         zq = jnp.take(e, idx, axis=0)  # (B*L, codebook_num, dim)
