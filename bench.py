@@ -143,6 +143,16 @@ def worker_measure_vit(out_path):
     # achievable denominator charges that (docs/kernels.md round 2f)
     extra = 2 * F.vit_train_attention_extra(vit_cfg, trainable=False)
     peak = F.TPU_PEAKS["v5e_bf16"]
+    # full hardware ceiling: achievable + the non-matmul hardware floors —
+    # LayerNorm HBM traffic (2 trunks, bf16 read+write per site) and the
+    # GQ search's K=32 contraction floor.  BOTH denominators live in this
+    # artifact so the README headline and the JSON cannot diverge
+    # (docs/kernels.md round 5: future targets bind to achievable_frac;
+    # hardware_ceiling_frac is the context number).
+    byte_flops = peak / F.TPU_HBM_BW["v5e"]
+    hw_extra = (extra
+                + 2 * F.vit_layernorm_elems(vit_cfg) * 2 * 2 * byte_flops
+                + F.gq_search_extra(1024, 16, 65536))
     with open(out_path, "w") as f:
         json.dump({
             "metric": "images/sec/chip 256x256 encode+quantize+decode "
@@ -152,7 +162,30 @@ def worker_measure_vit(out_path):
             "vs_baseline": round(img_per_s / (peak / (fl + extra)), 4),
             "roofline_frac": round(img_per_s / (peak / fl), 4),
             "achievable_frac": round(img_per_s / (peak / (fl + extra)), 4),
+            "achievable_ms_bs": round((fl + extra) * batch / peak * 1e3, 2),
+            "hardware_ceiling_frac": round(
+                img_per_s / (peak / (fl + hw_extra)), 4),
+            "hardware_ceiling_ms_bs": round(
+                (fl + hw_extra) * batch / peak * 1e3, 2),
         }, f)
+
+
+def worker_measure_train(out_path, config_name):
+    """Train-step record (VERDICT r4 #3 — the four train phases must be
+    driver-visible, not doc-only): one GAN phase pair (ae + disc) at the
+    operating point (bs=16, bf16 overlay) via scripts/bench_train.run()."""
+    _worker_env_setup()
+    os.environ.setdefault("BENCH_BATCH", "16")
+    os.environ.setdefault("BENCH_ITERS", "15")
+    os.environ.setdefault("BENCH_TRIALS", "3")
+    os.environ["BENCH_CONFIG"] = config_name
+    _progress(out_path, "import")
+    sys.path.insert(0, os.path.join(HERE, "scripts"))
+    import bench_train
+    _progress(out_path, "run")
+    res = bench_train.run()
+    with open(out_path, "w") as f:
+        json.dump(res, f)
 
 
 def worker_measure(out_path):
@@ -405,6 +438,55 @@ class Supervisor:
             except OSError as e:
                 print("BENCH_VIT.json write failed: %s" % e, file=sys.stderr)
 
+        # stage 4: the train-step record -> BENCH_TRAIN.json (VERDICT r4
+        # #3).  Per-config worker processes so one config's failure cannot
+        # lose the other's result; only spends budget the earlier stages
+        # left over.
+        self.stage = "measure_train"
+        train_out = {}
+        for cfg_name in ("sd3unet_gq_0.25", "bsqvit_gq_0.25"):
+            remaining = deadline - time.time()
+            if remaining < 240:
+                break
+            res, err, prog = _run_worker("train:" + cfg_name,
+                                         max(240.0, min(900.0, remaining - 30.0)))
+            if res is not None:
+                train_out[cfg_name] = res
+            else:
+                self.attempts.append(("train:" + cfg_name, err, prog))
+                # one retry if budget allows
+                remaining = deadline - time.time()
+                if remaining >= 300:
+                    res, err, prog = _run_worker(
+                        "train:" + cfg_name,
+                        max(240.0, min(900.0, remaining - 30.0)))
+                    if res is not None:
+                        train_out[cfg_name] = res
+                    else:
+                        self.attempts.append(("train:" + cfg_name, err, prog))
+        if train_out:
+            # keep prior entries for configs that failed this run (stamped
+            # stale) so the file never silently loses a config
+            path = os.path.join(HERE, "BENCH_TRAIN.json")
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+                for k, v in prev.items():
+                    if k not in train_out and isinstance(v, dict):
+                        train_out[k] = dict(v, stale=True)
+            except (OSError, ValueError):
+                pass
+            try:
+                with open(path, "w") as f:
+                    json.dump(train_out, f, indent=1)
+                    f.write("\n")
+                print("train-step record -> BENCH_TRAIN.json: %s"
+                      % ", ".join("%s %.1f img/s" % (k, v.get("value", 0))
+                                  for k, v in train_out.items()),
+                      file=sys.stderr)
+            except OSError as e:
+                print("BENCH_TRAIN.json write failed: %s" % e, file=sys.stderr)
+
         return 0 if self.best is not None else 3
 
 
@@ -412,6 +494,9 @@ def main():
     if "--worker" in sys.argv:
         stage = sys.argv[sys.argv.index("--worker") + 1]
         out = sys.argv[sys.argv.index("--out") + 1]
+        if stage.startswith("train:"):
+            worker_measure_train(out, stage.split(":", 1)[1])
+            return 0
         {"probe": worker_probe, "measure": worker_measure,
          "measure_vit": worker_measure_vit}[stage](out)
         return 0

@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def run():
+    """Run the two-phase benchmark for the env-selected config; returns the
+    result dict (also printed as the JSON line by main()).  bench.py's
+    measure_train stage calls this directly so the train-step numbers land
+    in a driver-visible BENCH_TRAIN.json every round."""
     from vqvae_from_gaussian_vae_tpu import instantiate_from_config
     from vqvae_from_gaussian_vae_tpu.parallel.train_state import make_optimizers
     from vqvae_from_gaussian_vae_tpu.parallel.train_step import TrainStepBuilder
@@ -197,11 +201,15 @@ def main():
         if extra[key]:
             ach_ms = (fl[key] + extra[key]) * batch / peak * 1e3
             out[f"{name}_achievable_frac"] = round(ach_ms / ms, 4)
-    print(json.dumps({
+    return {
         "metric": f"GAN train-step pair img/s ({base_name}, {dtype}, bs={batch})",
         "value": out["pair_img_per_s"], "unit": "img/s",
         "vs_baseline": out["pair_roofline_frac"], **out,
-    }))
+    }
+
+
+def main():
+    print(json.dumps(run()))
 
 
 if __name__ == "__main__":

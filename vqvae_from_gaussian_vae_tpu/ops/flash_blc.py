@@ -460,17 +460,21 @@ def _bwd_impl(q, k, v, o, z, do, sm_scale, num_heads, interpret, packed):
     # the 2-deep pipeline's extra live (bq, L) p/ds pair +
     # double-buffered k/v input tiles.
     pipe_depth = 2
-    live_tiles = 6
     hpb, block_q = None, None
     # block_q=256 first, then widest group: the round-4 in-vivo arbitration
     # (bench_train at the bsqvit shape) measured (4, 256) at ae 196.2 ms vs
     # (6, 128) at 197.1 and (6, 256, depth-1) at 199.9 — 256-row tiles
     # amortize grid overhead, and the 2-deep pipeline beats a wider head
-    # group when VMEM forces the choice (scripts/exp_flash_bwd_variants.py)
+    # group when VMEM forces the choice (scripts/exp_flash_bwd_variants.py;
+    # re-pin tilings there — the old GVQ_FLASH_BWD_TILE env pin is retired)
     for bq in (256, 512, 128, 64):
         if l % bq:
             continue
         for g in reversed(_aligned_groups(num_heads, d)):
+            # the 2-deep pipeline (gated on heads >= 3) keeps ~6 live fp32
+            # (bq, L) score/gradient tiles; the depth-1 loop a group g < 3
+            # actually runs keeps only ~5
+            live_tiles = 6 if g >= 3 else 5
             est = (2 * l * g * d * 4) + (live_tiles * bq * l * 4) \
                 + (4 * l * g * d * esize)
             if est <= 11_500_000:
@@ -478,10 +482,6 @@ def _bwd_impl(q, k, v, o, z, do, sm_scale, num_heads, interpret, packed):
                 break
         if hpb:
             break
-    import os as _os
-    _pin = _os.environ.get("GVQ_FLASH_BWD_TILE")  # experiment pin "hpb:bq"
-    if _pin:
-        hpb, block_q = (int(x) for x in _pin.split(":"))
     if hpb is None:
         # shapes whose whole-L k/v rows can't share VMEM with the score
         # tiles (very long sequences): fall back to the XLA einsum VJP —

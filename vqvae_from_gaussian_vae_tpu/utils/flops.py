@@ -243,6 +243,26 @@ def unet_groupnorm_elems(cfg: Dict) -> float:
     return total
 
 
+def vit_layernorm_elems(cfg: Dict) -> float:
+    """Elements through LayerNorm sites in ONE ViT trunk forward
+    (models/vit.py): ln_1 + ln_2 per ResidualAttentionBlock plus
+    ln_pre/ln_post.  Each site reads and writes its (L, W) activation
+    once (the one-pass Pallas kernel, ops/layer_norm.py), so the
+    bandwidth floor is elems * bytes/elem * 2 / HBM_BW."""
+    p = cfg["patch_size"]
+    l = (cfg["image_size"] // p) ** 2
+    return (2 * cfg["layers"] + 2) * l * cfg["width"]
+
+
+def gq_search_extra(rows: int, group: int, n_samples: int) -> float:
+    """Extra time-equivalent FLOPs of the GQ search beyond its full-peak
+    charge: the (R, 2G) x (2G, N) matmul's contraction depth K = 2*group
+    is below the MXU's 128 systolic rows, so it runs at K/128 of peak
+    (docs/kernels.md round 2e: the kernel sits at this practical floor)."""
+    r = 128.0 / min(2 * group, 128)
+    return (r - 1.0) * gq_search_flops(rows, group, n_samples)
+
+
 def vit_train_attention_extra(cfg: Dict, *, trainable: bool = True) -> float:
     """Extra time-equivalent FLOPs (beyond the `gan_train_step_flops`
     charge) that a ViT trunk's attention costs on the MXU, per forward
