@@ -126,6 +126,7 @@ class MultiheadAttention(nn.Module):
             None,
         )
         xc = x.astype(self.dtype)
+        qkv = xc @ w_in["kernel"].astype(self.dtype) + w_in["bias"].astype(self.dtype)
         _env = __import__("os").environ
         # GVQ_FLASH_INTERPRET=1 runs the Pallas kernel in interpret mode
         # off-TPU (tests compare it against the einsum fallback)
@@ -134,40 +135,21 @@ class MultiheadAttention(nn.Module):
             and jax.default_backend() != "tpu"
         )
         from vqvae_from_gaussian_vae_tpu.ops.flash_blc import (
-            flash_attention_qkv, flash_attention_qkvi, flash_blc_supported,
-            interleave_qkv_weight, qkv_interleave_groups)
+            flash_attention_qkv, flash_blc_supported)
 
         use_flash = (
             self.flash
             and attn_mask is None
             and (jax.default_backend() == "tpu" or force_interp)
-            and flash_blc_supported(l, self.n_head, hd, self.dtype)
+            and flash_blc_supported(l, self.n_head, hd, qkv.dtype)
             and _env.get("GVQ_DISABLE_FUSED_KERNELS", "") != "1"
         )
-        gi = qkv_interleave_groups(l, self.n_head, hd, self.dtype) \
-            if use_flash else 0
-        if use_flash and gi:
-            # concat-free path: permute the projection WEIGHTS (trace-time,
-            # a few MB; checkpoints keep the torch layout) so the packed
-            # activation is born group-interleaved and the flash backward
-            # writes the (B, L, 3C) gradient without the concat the torch
-            # layout forces (ops/flash_blc.py:flash_attention_qkvi)
-            w_i, b_i = interleave_qkv_weight(
-                w_in["kernel"].astype(self.dtype),
-                w_in["bias"].astype(self.dtype), self.n_head, hd, gi)
-            qkv = xc @ w_i + b_i
-            out = flash_attention_qkvi(qkv, hd ** -0.5, self.n_head, gi,
-                                       force_interp)
-        elif use_flash:
+        if use_flash:
             # packed entry: no jnp.split — the kernel's index maps slice
             # q/k/v out of the projection output in place
-            qkv = xc @ w_in["kernel"].astype(self.dtype) \
-                + w_in["bias"].astype(self.dtype)
             out = flash_attention_qkv(qkv, hd ** -0.5, self.n_head,
                                       force_interp)
         else:
-            qkv = xc @ w_in["kernel"].astype(self.dtype) \
-                + w_in["bias"].astype(self.dtype)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             qh = q.reshape(b, l, self.n_head, hd)
             kh = k.reshape(b, l, self.n_head, hd)

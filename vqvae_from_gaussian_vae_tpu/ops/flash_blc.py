@@ -40,7 +40,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from vqvae_from_gaussian_vae_tpu.ops.partition import batch_axis_of
 
 __all__ = ["flash_attention_blc", "flash_attention_qkv",
-           "flash_attention_qkvi", "qkv_interleave_groups",
            "flash_blc_supported", "sdpa_token_major"]
 
 _TRANS_B = (((1,), (1,)), ((), ()))  # contract dim1 of both: x @ y^T
@@ -133,25 +132,11 @@ def _pow2(x: float) -> bool:
     return x > 0 and math.log2(x).is_integer()
 
 
-def _fwd_kernel(*refs, sm_scale, heads, parts=1, with_z):
-    # refs: parts q blocks, parts k blocks, parts v blocks, o, [z].
-    # parts=1 is the standard/packed layout (one (block_q|L, heads*D)
-    # block per operand); parts=m is the group-interleaved layout, where
-    # the fwd head group spans m interleave blocks per operand and the
-    # per-head slice selects the right part (static arithmetic).
-    qs = [r[0] for r in refs[:parts]]
-    ks = [r[0] for r in refs[parts:2 * parts]]
-    vs = [r[0] for r in refs[2 * parts:3 * parts]]
-    o_ref = refs[3 * parts]
-    z_ref = refs[3 * parts + 1] if with_z else None
-    cgi = qs[0].shape[-1]
-    d = cgi * parts // heads
-
-    def _part(lst, h):
-        j, off = divmod(h * d, cgi)
-        return lst[j][:, off:off + d]
-
-    q, k, v = qs[0], ks[0], vs[0]  # dtype carriers
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads):
+    q = q_ref[0]  # (block_q, heads * D)
+    k = k_ref[0]  # (L, heads * D)
+    v = v_ref[0]
+    d = q.shape[-1] // heads
     # fp32 operands are the exact-parity path: force full-precision MXU
     # passes (the default truncates fp32 dots to one bf16 pass — caught by
     # the on-TPU parity run; bf16 operands keep the fast single pass)
@@ -168,10 +153,9 @@ def _fwd_kernel(*refs, sm_scale, heads, parts=1, with_z):
     pad = (-d) % 128
 
     def _probs(h):
-        qh = _part(qs, h)
-        if q_fold:
-            qh = qh * qh.dtype.type(sm_scale)
-        s = lax.dot_general(qh, _part(ks, h), _TRANS_B,
+        sl = slice(h * d, (h + 1) * d)
+        qh = q[:, sl] * q.dtype.type(sm_scale) if q_fold else q[:, sl]
+        s = lax.dot_general(qh, k[:, sl], _TRANS_B,
                             preferred_element_type=jnp.float32,
                             precision=prec)
         if not q_fold:
@@ -190,14 +174,14 @@ def _fwd_kernel(*refs, sm_scale, heads, parts=1, with_z):
         sl = slice(h * d, (h + 1) * d)
         if pad:
             m = aux
-            vh = jnp.concatenate([_part(vs, h), ones], axis=1)
+            vh = jnp.concatenate([v[:, sl], ones], axis=1)
             o = lax.dot(p, vh, preferred_element_type=jnp.float32,
                         precision=prec)
             inv_sum = 1.0 / o[:, d:d + 1]
             o = o[:, :d]
         else:
             m, inv_sum = aux
-            o = lax.dot(p, _part(vs, h), preferred_element_type=jnp.float32,
+            o = lax.dot(p, v[:, sl], preferred_element_type=jnp.float32,
                         precision=prec)
         o_ref[0, :, sl] = (o * inv_sum).astype(o_ref.dtype)
         if z_ref is not None:
@@ -223,19 +207,9 @@ def _fwd_kernel(*refs, sm_scale, heads, parts=1, with_z):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
-                *refs, sm_scale, heads, num_q_blocks, num_groups, fwd_hpb,
-                pipe_depth=2, single_out=False, block_q=0):
-    # single_out=False: refs = (dq_ref, dk_ref, dv_ref, dk_s, dv_s) — the
-    # torch-layout path (three outputs; the packed VJP concatenates them).
-    # single_out=True: refs = (dout_ref, dk_s, dv_s) with dout a resident
-    # (1, L, 3*heads*D) interleaved block [dq|dk|dv] for this head group —
-    # dq rows land per q-block via a dynamic row slice, dk/dv flush at the
-    # last q-block, and the (B, L, 3C) gradient needs NO concat.
-    if single_out:
-        dout_ref, dk_scratch, dv_scratch = refs
-        dq_ref = dk_ref = dv_ref = None
-    else:
-        dq_ref, dk_ref, dv_ref, dk_scratch, dv_scratch = refs
+                dq_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
+                *, sm_scale, heads, num_q_blocks, num_groups, fwd_hpb,
+                pipe_depth=2):
     q_idx = pl.program_id(2)
     g_idx = 0 if num_groups == 1 else pl.program_id(1)
 
@@ -304,13 +278,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
         dk_scratch[:, sl] += lax.dot_general(
             dsb, q[:, sl], _TRANS_A, preferred_element_type=jnp.float32,
             precision=prec)
-        dq = lax.dot(
-            dsb, k[:, sl], preferred_element_type=jnp.float32, precision=prec)
-        if single_out:
-            dout_ref[0, pl.dslice(q_idx * block_q, block_q), sl] = \
-                dq.astype(dout_ref.dtype)
-        else:
-            dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dq_ref[0, :, sl] = lax.dot(
+            dsb, k[:, sl], preferred_element_type=jnp.float32, precision=prec
+        ).astype(dq_ref.dtype)
 
     # software-pipelined like the forward: head h+1's softmax/ds (VPU)
     # overlaps head h's three gradient matmuls (MXU); measured 1.71 ->
@@ -338,15 +308,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _flush():
-        if single_out:
-            cg = heads * d
-            dout_ref[0, :, cg:2 * cg] = \
-                dk_scratch[...].astype(dout_ref.dtype)
-            dout_ref[0, :, 2 * cg:3 * cg] = \
-                dv_scratch[...].astype(dout_ref.dtype)
-        else:
-            dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
-            dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
 
 
 def _fwd_impl(q, k, v, sm_scale, num_heads, interpret, with_residual,
@@ -393,8 +356,7 @@ def _fwd_impl(q, k, v, sm_scale, num_heads, interpret, with_residual,
                      jax.ShapeDtypeStruct((b, l, 128 * n_groups), jnp.float32)]
         out_specs = [out_specs, pl.BlockSpec((1, block_q, 128), q_map)]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale, heads=hpb,
-                          with_z=with_residual),
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, heads=hpb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -412,67 +374,6 @@ def _fwd_impl(q, k, v, sm_scale, num_heads, interpret, with_residual,
         name=f"flash_blc_fwd_h{hpb}_bq{block_q}",
         interpret=interpret,
     )(q, k, v)
-
-
-def _fwd_impl_inter(qkv, sm_scale, num_heads, interpret, with_residual,
-                    gi_heads):
-    """Forward over the group-interleaved (B, L, 3C) layout
-    ([q_g0|k_g0|v_g0|q_g1|...] at gi_heads*D channel granularity, see
-    qkv_interleave_groups).  Same tiling and kernel math as the packed
-    forward — the fwd head group just spans m = hpb/gi_heads interleave
-    blocks, read through m per-part index maps; DMA bytes are unchanged."""
-    b, l, c3 = qkv.shape
-    c = c3 // 3
-    d = c // num_heads
-    tiling = _fwd_tiling(l, num_heads, d, jnp.dtype(qkv.dtype).itemsize)
-    if tiling is None:
-        raise ValueError("flash qkvi: no fwd tiling; gate on "
-                         "qkv_interleave_groups before calling")
-    hpb, block_q = tiling
-    if hpb % gi_heads:
-        raise ValueError("flash qkvi: bwd group must divide fwd group")
-    m = hpb // gi_heads
-    cgi = gi_heads * d
-    n_groups = num_heads // hpb
-    grid = (b, n_groups, l // block_q)
-
-    def part_map(kind, j):
-        def f(bi, gi, qi):
-            blk = 3 * (gi * m + j) + kind
-            return (bi, qi if kind == 0 else 0, blk)
-        return f
-
-    in_specs = (
-        [pl.BlockSpec((1, block_q, cgi), part_map(0, j)) for j in range(m)]
-        + [pl.BlockSpec((1, l, cgi), part_map(1, j)) for j in range(m)]
-        + [pl.BlockSpec((1, l, cgi), part_map(2, j)) for j in range(m)]
-    )
-
-    def o_map(bi, gi, qi):
-        return (bi, qi, gi)
-
-    out_shape = jax.ShapeDtypeStruct((b, l, c), qkv.dtype)
-    out_specs = pl.BlockSpec((1, block_q, hpb * d), o_map)
-    if with_residual:
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((b, l, 128 * n_groups), jnp.float32)]
-        out_specs = [out_specs, pl.BlockSpec((1, block_q, 128), o_map)]
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale, heads=hpb,
-                          parts=m, with_z=with_residual),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-        ),
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        name=f"flash_blc_fwd_i_h{hpb}_bq{block_q}_m{m}",
-        interpret=interpret,
-    )(*([qkv] * (3 * m)))
 
 
 def _fwd_call(q, k, v, sm_scale, num_heads, interpret):
@@ -545,19 +446,27 @@ def _bwd_call_packed(qkv, o, z, do, sm_scale, num_heads, interpret):
                      True)
 
 
-def _bwd_tiling(l: int, num_heads: int, d: int, esize: int):
-    """Joint VMEM search for the pipelined backward: fp32 dk/dv
-    accumulators + ~5 live fp32 (block_q, L) score/gradient tiles +
-    the 2-deep pipeline's extra live (bq, L) p/ds pair +
-    double-buffered k/v input tiles.
-
-    block_q=256 first, then widest group: the round-4 in-vivo arbitration
-    (bench_train at the bsqvit shape) measured (4, 256) at ae 196.2 ms vs
-    (6, 128) at 197.1 and (6, 256, depth-1) at 199.9 — 256-row tiles
-    amortize grid overhead, and the 2-deep pipeline beats a wider head
-    group when VMEM forces the choice (scripts/exp_flash_bwd_variants.py;
-    re-pin tilings there — the old GVQ_FLASH_BWD_TILE env pin is retired).
-    Returns (hpb, block_q) or None."""
+def _bwd_impl(q, k, v, o, z, do, sm_scale, num_heads, interpret, packed):
+    # packed=True: q is k is v is the (B, L, 3*C) QKV array (see _fwd_impl)
+    b, l, c = q.shape
+    if packed:
+        c //= 3
+    d = c // num_heads
+    esize = jnp.dtype(q.dtype).itemsize
+    fwd_hpb = _fwd_hpb(l, num_heads, d, esize)
+    z_width = z.shape[-1]
+    # Joint VMEM search for the pipelined backward: fp32 dk/dv
+    # accumulators + ~5 live fp32 (block_q, L) score/gradient tiles +
+    # the 2-deep pipeline's extra live (bq, L) p/ds pair +
+    # double-buffered k/v input tiles.
+    pipe_depth = 2
+    hpb, block_q = None, None
+    # block_q=256 first, then widest group: the round-4 in-vivo arbitration
+    # (bench_train at the bsqvit shape) measured (4, 256) at ae 196.2 ms vs
+    # (6, 128) at 197.1 and (6, 256, depth-1) at 199.9 — 256-row tiles
+    # amortize grid overhead, and the 2-deep pipeline beats a wider head
+    # group when VMEM forces the choice (scripts/exp_flash_bwd_variants.py;
+    # re-pin tilings there — the old GVQ_FLASH_BWD_TILE env pin is retired)
     for bq in (256, 512, 128, 64):
         if l % bq:
             continue
@@ -569,54 +478,10 @@ def _bwd_tiling(l: int, num_heads: int, d: int, esize: int):
             est = (2 * l * g * d * 4) + (live_tiles * bq * l * 4) \
                 + (4 * l * g * d * esize)
             if est <= 11_500_000:
-                return g, bq
-    return None
-
-
-def qkv_interleave_groups(l: int, num_heads: int, head_dim: int,
-                          dtype) -> int:
-    """Interleave granularity (in heads) of the concat-free packed path,
-    or 0 when unsupported.
-
-    The training backward emits dq/dk/dv; with the torch q|k|v channel
-    layout they are three Pallas outputs whose (B, L, 3C) concatenation —
-    needed by the projection's AD — costs ~0.1 ms/layer of pure HBM copy
-    (round-5 trace: 2.48 ms/step of `dynamic-update-slice` fusions at the
-    bsqvit shape).  Interleaving the projection's output channels at the
-    BACKWARD's head-group granularity g ([q_g0|k_g0|v_g0|q_g1|...]) makes
-    each bwd grid step's dq/dk/dv adjacent, so ONE (1, L, 3*g*D) output
-    block covers them and the gradient is written directly in the layout
-    the projection AD consumes.  The forward reads the same array through
-    per-part index maps (its wider head group spans m = fwd_hpb/g parts),
-    keeping the measured-fastest fwd tiling and the 128-lane z residual.
-
-    Requirements: a legal fwd tiling, a legal bwd tiling, and the bwd
-    group dividing the fwd group.
-    """
-    if not flash_blc_supported(l, num_heads, head_dim, dtype):
-        return 0
-    esize = jnp.dtype(dtype).itemsize
-    bwd = _bwd_tiling(l, num_heads, head_dim, esize)
-    if bwd is None:
-        return 0
-    fwd_hpb = _fwd_hpb(l, num_heads, head_dim, esize)
-    if fwd_hpb % bwd[0]:
-        return 0
-    return bwd[0]
-
-
-def _bwd_impl(q, k, v, o, z, do, sm_scale, num_heads, interpret, packed):
-    # packed=True: q is k is v is the (B, L, 3*C) QKV array (see _fwd_impl)
-    b, l, c = q.shape
-    if packed:
-        c //= 3
-    d = c // num_heads
-    esize = jnp.dtype(q.dtype).itemsize
-    fwd_hpb = _fwd_hpb(l, num_heads, d, esize)
-    z_width = z.shape[-1]
-    pipe_depth = 2
-    tiling = _bwd_tiling(l, num_heads, d, esize)
-    hpb, block_q = tiling if tiling else (None, None)
+                hpb, block_q = g, bq
+                break
+        if hpb:
+            break
     if hpb is None:
         # shapes whose whole-L k/v rows can't share VMEM with the score
         # tiles (very long sequences): fall back to the XLA einsum VJP —
@@ -678,70 +543,6 @@ def _bwd_impl(q, k, v, o, z, do, sm_scale, num_heads, interpret, packed):
     return dq, dk, dv
 
 
-def _bwd_impl_inter(qkv, o, z, do, sm_scale, num_heads, interpret, gi_heads):
-    """Backward over the group-interleaved layout: the head-group grid
-    step writes dq|dk|dv into ONE resident (1, L, 3*g*D) block of the
-    (B, L, 3C) gradient — dq rows land per q-block (the out index map is
-    constant in the q dimension, so the block stays in VMEM), dk/dv flush
-    from the fp32 accumulators at the last q-block.  The projection's AD
-    consumes this array directly: the concat of the torch-layout path
-    (2.48 ms/step at the bsqvit shape, round-5 trace) never exists."""
-    b, l, c3 = qkv.shape
-    c = c3 // 3
-    d = c // num_heads
-    esize = jnp.dtype(qkv.dtype).itemsize
-    fwd_hpb = _fwd_hpb(l, num_heads, d, esize)
-    z_width = z.shape[-1]
-    pipe_depth = 2
-    tiling = _bwd_tiling(l, num_heads, d, esize)
-    if tiling is None or tiling[0] != gi_heads:
-        raise ValueError("flash qkvi bwd: tiling/granularity mismatch; "
-                         "gate on qkv_interleave_groups before calling")
-    hpb, block_q = tiling
-    cg = hpb * d
-    nq = l // block_q
-    n_groups = num_heads // hpb
-    grid = (b, n_groups, nq)
-
-    qin_spec = pl.BlockSpec((1, block_q, cg),
-                            lambda bi, gi, qi: (bi, qi, 3 * gi))
-    kin_spec = pl.BlockSpec((1, l, cg),
-                            lambda bi, gi, qi: (bi, 0, 3 * gi + 1))
-    vin_spec = pl.BlockSpec((1, l, cg),
-                            lambda bi, gi, qi: (bi, 0, 3 * gi + 2))
-    # o/do stay in the normal (B, L, C) head-major layout
-    od_spec = pl.BlockSpec((1, block_q, cg), lambda bi, gi, qi: (bi, qi, gi))
-    z_spec = pl.BlockSpec((1, block_q, z_width),
-                          lambda bi, gi, qi: (bi, qi, 0))
-    out_spec = pl.BlockSpec((1, l, 3 * cg), lambda bi, gi, qi: (bi, 0, gi))
-
-    (dqkv,) = pl.pallas_call(
-        functools.partial(_bwd_kernel, sm_scale=sm_scale, heads=hpb,
-                          num_q_blocks=nq, num_groups=n_groups,
-                          fwd_hpb=fwd_hpb, pipe_depth=pipe_depth,
-                          single_out=True, block_q=block_q),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=grid,
-            in_specs=[qin_spec, kin_spec, vin_spec, od_spec, z_spec,
-                      od_spec],
-            out_specs=[out_spec],
-            scratch_shapes=[
-                pltpu.VMEM((l, cg), jnp.float32),
-                pltpu.VMEM((l, cg), jnp.float32),
-            ],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((b, l, c3), qkv.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        name=f"flash_blc_bwd_i_h{hpb}_bq{block_q}"
-             + (f"_p{pipe_depth}" if pipe_depth > 1 else ""),
-        interpret=interpret,
-    )(qkv, qkv, qkv, o, z, do)
-    return dqkv
-
-
 # --------------------------------------------------------------------------
 # GSPMD partitioning: attention is independent per batch element, so both
 # pallas_calls shard over dim 0 of every operand/output with no
@@ -751,32 +552,31 @@ def _bwd_impl_inter(qkv, o, z, do, sm_scale, num_heads, interpret, gi_heads):
 
 
 def _make_batch_cp(impl, n_arrays, n_out=1, z_args=(), z_outs=(),
-                   c3_args=(), c3_outs=(), n_static=3):
+                   c3_args=()):
     cp = custom_partitioning(
-        impl, static_argnums=tuple(range(n_arrays, n_arrays + n_static)))
+        impl, static_argnums=(n_arrays, n_arrays + 1, n_arrays + 2))
 
     def _shardings(mesh, b_ax, n):
         s = NamedSharding(mesh, P(b_ax, None, None))
         return (s,) * n
 
-    def infer(*args):
-        mesh, arg_infos, result_infos = args[n_static:n_static + 3]
+    def infer(sm_scale, num_heads, interpret, mesh, arg_infos, result_infos):
+        del sm_scale, num_heads, interpret
         b_ax = batch_axis_of(arg_infos[0], 0)
-        n_res = len(result_infos) if isinstance(result_infos, (tuple, list)) else 1
-        out = _shardings(mesh, b_ax, n_res)
-        return out if n_res > 1 else out[0]
+        n_out = len(result_infos) if isinstance(result_infos, (tuple, list)) else 1
+        out = _shardings(mesh, b_ax, n_out)
+        return out if n_out > 1 else out[0]
 
-    def partition(*args):
-        statics = args[:n_static]
-        mesh, arg_infos, result_infos = args[n_static:n_static + 3]
+    def partition(sm_scale, num_heads, interpret, mesh, arg_infos,
+                  result_infos):
         b_ax = batch_axis_of(arg_infos[0], 0)
 
         def lower(*arrs):
-            return impl(*arrs, *statics)
+            return impl(*arrs, sm_scale, num_heads, interpret)
 
-        n_res = len(result_infos) if isinstance(result_infos, (tuple, list)) else 1
-        out_sh = _shardings(mesh, b_ax, n_res)
-        return (mesh, lower, out_sh if n_res > 1 else out_sh[0],
+        n_out = len(result_infos) if isinstance(result_infos, (tuple, list)) else 1
+        out_sh = _shardings(mesh, b_ax, n_out)
+        return (mesh, lower, out_sh if n_out > 1 else out_sh[0],
                 _shardings(mesh, b_ax, n_arrays))
 
     # the z residual's lane width (128 * fwd groups) and the packed QKV's
@@ -787,7 +587,7 @@ def _make_batch_cp(impl, n_arrays, n_out=1, z_args=(), z_outs=(),
 
     dims = tuple(("b", "l", _feat(i, z_args, c3_args))
                  for i in range(n_arrays))
-    out_dims = tuple(("b", "l", _feat(i, z_outs, c3_outs))
+    out_dims = tuple(("b", "l", _feat(i, z_outs, ()))
                      for i in range(n_out))
     # Shardy wants special factors listed in first-appearance order
     seen = list(dict.fromkeys(f for d in dims + out_dims for f in d))
@@ -799,21 +599,6 @@ def _make_batch_cp(impl, n_arrays, n_out=1, z_args=(), z_outs=(),
     return cp
 
 
-def _fwd_call_i(qkv, sm_scale, num_heads, gi_heads, interpret):
-    return _fwd_impl_inter(qkv, sm_scale, num_heads, interpret, False,
-                           gi_heads)
-
-
-def _fwd_res_call_i(qkv, sm_scale, num_heads, gi_heads, interpret):
-    return _fwd_impl_inter(qkv, sm_scale, num_heads, interpret, True,
-                           gi_heads)
-
-
-def _bwd_call_i(qkv, o, z, do, sm_scale, num_heads, gi_heads, interpret):
-    return _bwd_impl_inter(qkv, o, z, do, sm_scale, num_heads, interpret,
-                           gi_heads)
-
-
 _FWD_CP = _make_batch_cp(_fwd_call, 3)
 _FWD_RES_CP = _make_batch_cp(_fwd_res_call, 3, n_out=2, z_outs=(1,))
 _BWD_CP = _make_batch_cp(_bwd_call, 6, n_out=3, z_args=(4,))
@@ -822,11 +607,6 @@ _FWD_RES_P_CP = _make_batch_cp(_fwd_res_call_packed, 1, n_out=2,
                                z_outs=(1,), c3_args=(0,))
 _BWD_P_CP = _make_batch_cp(_bwd_call_packed, 4, n_out=3, z_args=(2,),
                            c3_args=(0,))
-_FWD_I_CP = _make_batch_cp(_fwd_call_i, 1, c3_args=(0,), n_static=4)
-_FWD_RES_I_CP = _make_batch_cp(_fwd_res_call_i, 1, n_out=2, z_outs=(1,),
-                               c3_args=(0,), n_static=4)
-_BWD_I_CP = _make_batch_cp(_bwd_call_i, 4, n_out=1, z_args=(2,),
-                           c3_args=(0,), c3_outs=(0,), n_static=4)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -886,65 +666,9 @@ def _vjp_fwd_qkv(qkv, sm_scale, num_heads, interpret):
 def _vjp_bwd_qkv(sm_scale, num_heads, interpret, res, do):
     qkv, o, zres = res
     dq, dk, dv = _BWD_P_CP(qkv, o, zres, do, sm_scale, num_heads, interpret)
-    # the packed projection's AD needs one (B, L, 3C) cotangent; XLA
-    # lowers this concat to dynamic-update-slice fusions (measured
-    # 2.48 ms/step at the bsqvit shape) — the interleaved entry below
-    # (flash_attention_qkvi) eliminates it; this path serves the
-    # torch-layout API and shapes the interleave cannot support
+    # the packed projection's AD needs one (B, L, 3C) cotangent; XLA fuses
+    # this concat into the dq/dk/dv consumers' epilogues where possible
     return (jnp.concatenate([dq, dk, dv], axis=-1),)
 
 
 flash_attention_qkv.defvjp(_vjp_fwd_qkv, _vjp_bwd_qkv)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def flash_attention_qkvi(qkv, sm_scale: float, num_heads: int,
-                         gi_heads: int, interpret: bool = False):
-    """Flash attention over a GROUP-INTERLEAVED packed QKV projection.
-
-    ``qkv`` is (B, L, 3C) laid out as [q_g0|k_g0|v_g0|q_g1|k_g1|v_g1|...]
-    at ``gi_heads * D`` channel granularity — the layout produced by a
-    projection whose weight columns were permuted with
-    :func:`interleave_qkv_weight` (models/vit.py does this at trace time;
-    weights stay torch-layout in checkpoints).  ``gi_heads`` must be the
-    value returned by :func:`qkv_interleave_groups` for this shape.
-
-    Identical math to :func:`flash_attention_qkv`; the difference is the
-    training backward, which writes dq/dk/dv for each head group into one
-    adjacent block of the (B, L, 3C) gradient — the concat the torch
-    layout forces (three Pallas outputs -> dynamic-update-slice fusions,
-    2.48 ms/step at the bsqvit operating point) never materialises.
-    """
-    return _FWD_I_CP(qkv, sm_scale, num_heads, gi_heads, interpret)
-
-
-def _vjp_fwd_qkvi(qkv, sm_scale, num_heads, gi_heads, interpret):
-    o, zres = _FWD_RES_I_CP(qkv, sm_scale, num_heads, gi_heads, interpret)
-    return o, (qkv, o, zres)
-
-
-def _vjp_bwd_qkvi(sm_scale, num_heads, gi_heads, interpret, res, do):
-    qkv, o, zres = res
-    return (_BWD_I_CP(qkv, o, zres, do, sm_scale, num_heads, gi_heads,
-                      interpret),)
-
-
-flash_attention_qkvi.defvjp(_vjp_fwd_qkvi, _vjp_bwd_qkvi)
-
-
-def interleave_qkv_weight(kernel, bias, num_heads: int, head_dim: int,
-                          gi_heads: int):
-    """Permute a torch-layout packed projection (kernel (C_in, 3C), bias
-    (3C,); columns q|k|v) into the group-interleaved layout
-    :func:`flash_attention_qkvi` consumes.  Applied at trace time on the
-    WEIGHTS (a few MB), so checkpoints/converters keep the reference
-    layout (`/root/reference/pit/modules/vit.py:86` nn.MultiheadAttention
-    in_proj) and the (B, L, 3C) activation is born interleaved."""
-    c = num_heads * head_dim
-    cgi = gi_heads * head_dim
-    nb = c // cgi
-    k3 = kernel.reshape(kernel.shape[0], 3, nb, cgi)
-    kernel_i = jnp.swapaxes(k3, 1, 2).reshape(kernel.shape[0], 3 * c)
-    b3 = bias.reshape(3, nb, cgi)
-    bias_i = jnp.swapaxes(b3, 0, 1).reshape(3 * c)
-    return kernel_i, bias_i
