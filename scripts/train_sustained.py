@@ -87,6 +87,9 @@ def launch(args_list, log_path):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="sd3unet_gq_0.25",
+                    help="configs/<name>.yaml; round 5 also runs the "
+                         "bsqvit_gq_0.25 flagship (VERDICT r4 #5)")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--disc_start", type=int, default=60)
@@ -106,6 +109,13 @@ def main():
     sigusr1_at = args.disc_start // 2
     overrides = [
         f"data.params.train.params.root={data_root}",
+        # a validation split on the same synthetic folder so the resumed
+        # segment's post-fit `trainer.test` epoch (the reference's
+        # main.py:862-863) has data to run on
+        "data.params.validation.target="
+        "vqvae_from_gaussian_vae_tpu.data.dataset.SimpleDataset",
+        f"data.params.validation.params.root={data_root}",
+        "data.params.validation.params.image_size=256",
         f"data.params.batch_size={args.batch}",
         "data.params.num_workers=4",
         f"model.params.loss_config.params.disc_start={args.disc_start}",
@@ -117,7 +127,7 @@ def main():
     ]
     # main.py's --base is nargs="*": both configs after ONE flag (a second
     # --base would REPLACE the first, not append)
-    base_args = ["--base", "configs/sd3unet_gq_0.25.yaml",
+    base_args = ["--base", f"configs/{args.config}.yaml",
                  "configs/overlays/bf16_compute.yaml",
                  "--logdir", logroot, "--name", "sustained", "--no-test",
                  "--max_steps", str(args.steps)] + overrides
@@ -173,7 +183,9 @@ def main():
     shutil.copy(csv_path, os.path.join(work, "metrics_segment1.csv"))
 
     print(f"[sustained] segment 2: resume from ~{seg1_last} -> {args.steps}")
-    proc, fh = launch(["--resume", logdir, "--no-test",
+    # no --no-test: the resumed segment ends with the post-fit validation
+    # epoch (parallel/trainer.py:test — the reference's trainer.test)
+    proc, fh = launch(["--resume", logdir,
                        "--max_steps", str(args.steps)],
                       os.path.join(work, "segment2.log"))
     t0 = time.time()
@@ -238,7 +250,7 @@ def report(args, work, logdir, seg1_last, rows):
         ax.set_yscale(scale)
         ax.legend(fontsize=7)
     fig.suptitle(
-        f"sd3unet_gq_0.25 sustained run on v5e: {steps[-1]} steps, bf16, "
+        f"{args.config} sustained run on v5e: {steps[-1]} steps, bf16, "
         f"bs={args.batch}, disc_start={args.disc_start}, "
         f"SIGUSR1 + kill/resume @ ~{seg1_last}")
     fig.tight_layout()
@@ -246,11 +258,14 @@ def report(args, work, logdir, seg1_last, rows):
     fig.savefig(curve_path, dpi=110)
     print(f"[sustained] wrote {curve_path}")
 
+    # ALL logged grids (round-4's last-3 copy made the report text and the
+    # committed artifact disagree — VERDICT r4 #5b)
+    copied = []
     img_dir = os.path.join(logdir, "images", "train")
     if os.path.isdir(img_dir):
-        grids = sorted(os.listdir(img_dir))
-        for name in grids[-3:]:
+        for name in sorted(os.listdir(img_dir)):
             shutil.copy(os.path.join(img_dir, name), os.path.join(out, name))
+            copied.append(name)
             print(f"[sustained] copied image grid {name}")
     for seg in ("segment1.log", "segment2.log", "metrics_segment1.csv"):
         p = os.path.join(work, seg)
@@ -258,6 +273,29 @@ def report(args, work, logdir, seg1_last, rows):
             shutil.copy(p, os.path.join(out, seg))
     shutil.copy(os.path.join(logdir, "metrics.csv"),
                 os.path.join(out, "metrics.csv"))
+
+    # machine-written summary with the EXACT numbers, so the prose report
+    # cannot drift from the artifact (VERDICT r4 #5c), plus the required
+    # disclosure: with no vgg.pth in this image the LPIPS term uses a
+    # RANDOMLY-INITIALIZED perceptual net (the harness warns the same,
+    # segment1.log)
+    val_rows = [r for r in read_csv(os.path.join(logdir, "metrics.csv"))
+                if any(k.startswith("val/") and r.get(k) for k in r)]
+    with open(os.path.join(out, "run_summary.md"), "w") as f:
+        f.write(f"# {args.config} sustained run — machine-written summary\n\n")
+        f.write(f"- steps: {steps[-1]} (target {args.steps}), bs={args.batch},"
+                f" bf16 overlay, disc_start={args.disc_start}\n")
+        resumed = [s for s in steps if s > seg1_last - 6]
+        f.write(f"- segment 1 ended (SIGINT/crash-ckpt) at step "
+                f"{seg1_last}; segment 2 resumed at step "
+                f"{resumed[0] if resumed else 'n/a'}\n")
+        f.write(f"- image grids committed: {', '.join(copied) or 'none'}\n")
+        f.write(f"- post-fit validation epoch rows logged: {len(val_rows)}\n")
+        f.write("- DISCLOSURE: no vgg.pth in this image, so the LPIPS "
+                "perceptual term uses a randomly-initialized VGG (loud "
+                "warning in segment1.log); loss curves are internally "
+                "consistent but the perceptual term is NOT the "
+                "reference-weighted one.\n")
     print(f"[sustained] artifacts in {out}")
 
 

@@ -308,17 +308,42 @@ class ResnetBlock(nn.Module):
                 return nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)],
                                dtype=self.dtype, name=name)(v)
 
+            # GVQ_GN_BWD=1 routes GroupNorm+swish through the custom-VJP
+            # op whose BACKWARD is the one-kernel two-phase Pallas GN+swish
+            # adjoint (ops/gn_swish_bwd.py): XLA's backward materialises
+            # the dh_gn intermediate between its stats and apply fusions
+            # (6 activation traversals/site); the kernel recomputes it in
+            # VMEM (5).  Experiment knob — ship/remove on the bench_train
+            # measurement (round-5 GN-dgrad spike, docs/kernels.md).
+            use_gnb = (
+                train and not self.is_initializing()
+                and jax.default_backend() == "tpu"
+                and jnp.dtype(self.dtype) == jnp.bfloat16
+                and _env.get("GVQ_GN_BWD", "0") == "1"
+                and _env.get("GVQ_DISABLE_FUSED_KERNELS", "") != "1"
+            )
+
+            def gn_swish_site(name, v):
+                from vqvae_from_gaussian_vae_tpu.ops.gn_swish_bwd import gn_swish
+
+                p = self.variables["params"][name]
+                return gn_swish(v.astype(self.dtype), p["scale"], p["bias"])
+
             if use_in_stats:
                 # the producing resample kernel already reduced the GN
                 # statistics; normalize is elementwise -> fuses into conv1
                 p = self.variables["params"]["norm1"]
                 h = group_norm_from_stats(x, in_stats, p["scale"], p["bias"])
+                h = nonlinearity(h)
+            elif use_gnb:
+                h = gn_swish_site("norm1", x)
             else:
-                h = Normalize("norm1", dtype=self.dtype)(x)
-            h = nonlinearity(h)
+                h = nonlinearity(Normalize("norm1", dtype=self.dtype)(x))
             h = conv3("conv1", h)
-            h = Normalize("norm2", dtype=self.dtype)(h)
-            h = nonlinearity(h)
+            if use_gnb:
+                h = gn_swish_site("norm2", h)
+            else:
+                h = nonlinearity(Normalize("norm2", dtype=self.dtype)(h))
             if self.dropout > 0.0:
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)
             h = conv3("conv2", h)

@@ -290,21 +290,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
     # the decided default: bsqvit GAN ae step 199.9 -> 197.1 ms at
     # bs=16 bf16 (pair 118.4 -> 120.2 img/s, round 4; the FORWARD's
     # 2-deep variant measured slower and was deleted).
-    if pipe_depth >= 2 and heads >= 3:
-        s0, s1 = _probs_ds(0), _probs_ds(1)
-        for h in range(2, heads):
-            cur = _probs_ds(h)
-            _emit(h - 2, *s0)
-            s0, s1 = s1, cur
-        _emit(heads - 2, *s0)
-        _emit(heads - 1, *s1)
-    else:
-        prev = _probs_ds(0)
-        for h in range(1, heads):
-            cur = _probs_ds(h)
-            _emit(h - 1, *prev)
-            prev = cur
-        _emit(heads - 1, *prev)
+    import collections
+
+    depth = max(1, min(pipe_depth, heads - 1))
+    buf = collections.deque((h, _probs_ds(h)) for h in range(depth))
+    for h in range(depth, heads):
+        cur = (h, _probs_ds(h))
+        eh, pd = buf.popleft()
+        _emit(eh, *pd)
+        buf.append(cur)
+    for eh, pd in buf:
+        _emit(eh, *pd)
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _flush():
