@@ -46,7 +46,61 @@ B, L, H, D = 16, 1024, 12, 64
 SCALE = D ** -0.5
 
 
-def run(hpb, block_q, pipe_depth):
+def _control_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
+                    *, sm_scale, heads, num_q_blocks, pipe_depth=2):
+    """matonly-style bwd control: the SAME five matmuls and DMAs as the
+    real kernel, with the softmax recompute (exp, z read-combine, di,
+    ds elementwise) deleted — the kernel-structure floor.  Wrong math by
+    construction; timing only."""
+    import collections
+
+    from jax import lax
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros(dk_scratch.shape, dk_scratch.dtype)
+        dv_scratch[...] = jnp.zeros(dv_scratch.shape, dv_scratch.dtype)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    d = q.shape[-1] // heads
+
+    def _probs_ds(h):
+        sl = slice(h * d, (h + 1) * d)
+        s = lax.dot_general(q[:, sl], k[:, sl], F._TRANS_B,
+                            preferred_element_type=jnp.float32)
+        dp = lax.dot_general(do[:, sl], v[:, sl], F._TRANS_B,
+                             preferred_element_type=jnp.float32)
+        return s.astype(do.dtype), dp.astype(q.dtype)
+
+    def _emit(h, pb, dsb):
+        sl = slice(h * d, (h + 1) * d)
+        dv_scratch[:, sl] += lax.dot_general(
+            pb, do[:, sl], F._TRANS_A, preferred_element_type=jnp.float32)
+        dk_scratch[:, sl] += lax.dot_general(
+            dsb, q[:, sl], F._TRANS_A, preferred_element_type=jnp.float32)
+        dq_ref[0, :, sl] = lax.dot(
+            dsb, k[:, sl], preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+
+    depth = max(1, min(pipe_depth, heads - 1))
+    buf = collections.deque((h, _probs_ds(h)) for h in range(depth))
+    for h in range(depth, heads):
+        cur = (h, _probs_ds(h))
+        eh, pd = buf.popleft()
+        _emit(eh, *pd)
+        buf.append(cur)
+    for eh, pd in buf:
+        _emit(eh, *pd)
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _flush():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def run(hpb, block_q, pipe_depth, control=False):
     c = H * D
     esize = 2
     fwd_hpb = F._fwd_hpb(L, H, D, esize)
@@ -67,10 +121,15 @@ def run(hpb, block_q, pipe_depth):
     z_width = 128 * n_groups_fwd
     z_spec = pl.BlockSpec((1, block_q, z_width), lambda bi, gi, qi: (bi, qi, 0))
 
+    if control:
+        body = functools.partial(_control_kernel, sm_scale=SCALE, heads=hpb,
+                                 num_q_blocks=nq, pipe_depth=pipe_depth)
+    else:
+        body = functools.partial(F._bwd_kernel, sm_scale=SCALE, heads=hpb,
+                                 num_q_blocks=nq, num_groups=H // hpb,
+                                 fwd_hpb=fwd_hpb, pipe_depth=pipe_depth)
     kernel = pl.pallas_call(
-        functools.partial(F._bwd_kernel, sm_scale=SCALE, heads=hpb,
-                          num_q_blocks=nq, num_groups=H // hpb,
-                          fwd_hpb=fwd_hpb, pipe_depth=pipe_depth),
+        body,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -117,6 +176,10 @@ def run(hpb, block_q, pipe_depth):
         np.asarray(a)
         best = min(best, (time.perf_counter() - t0) / iters / LAYERS)
 
+    if control:
+        print(f"hpb={hpb:2d} bq={block_q:4d} p{pipe_depth} CONTROL(no-softmax):"
+              f" {best*1e6:8.1f} us/layer", flush=True)
+        return best
     # parity vs einsum VJP
     dq, dk, dv = kernel(q, k, v, o, z, do)
     rq, rk, rv = F._einsum_bwd(q, k, v, do, SCALE, H)
@@ -131,10 +194,14 @@ if __name__ == "__main__":
     combos = [(6, 128, 2), (6, 128, 1), (4, 256, 2), (4, 256, 1),
               (2, 512, 2), (6, 256, 1), (4, 128, 2), (2, 256, 2)]
     if len(sys.argv) > 1:
-        combos = [tuple(int(x) for x in a.split(":")) for a in sys.argv[1:]]
-    for hpb, bq, p in combos:
+        combos = []
+        for a in sys.argv[1:]:
+            parts = a.split(":")
+            combos.append((int(parts[0]), int(parts[1]), int(parts[2]),
+                           len(parts) > 3 and parts[3] == "control"))
+    for combo in combos:
         try:
-            run(hpb, bq, p)
+            run(*combo)
         except Exception as e:
-            print(f"hpb={hpb} bq={bq} p{p}: FAILED {type(e).__name__}: "
+            print(f"{combo}: FAILED {type(e).__name__}: "
                   f"{str(e)[:120]}", flush=True)
