@@ -47,13 +47,19 @@ def test_lean_flash_matches_upstream_and_einsum():
     q, k, v, do = _inputs()
     sm = D ** -0.5
     bs = _blocks()
-    o_up, vjp_up = jax.vjp(
-        lambda q, k, v: upstream(q, k, v, causal=False, sm_scale=sm,
-                                 block_sizes=bs), q, k, v)
+    # the STOCK upstream kernel has no precision guard: under the on-chip
+    # suite's jax_default_matmul_precision=highest pin its bf16 dots
+    # lower to fp32-contract tpu.matmuls Mosaic rejects — trace the
+    # oracle at default precision (ours guards internally, _prec_guard)
+    with jax.default_matmul_precision("default"):
+        o_up, vjp_up = jax.vjp(
+            lambda q, k, v: upstream(q, k, v, causal=False, sm_scale=sm,
+                                     block_sizes=bs), q, k, v)
+        grads_up = vjp_up(do)  # bwd traces here: keep it inside the guard
     o_ln, vjp_ln = jax.vjp(lambda q, k, v: flash_attention(q, k, v, sm, bs),
                            q, k, v)
     np.testing.assert_array_equal(np.asarray(o_up), np.asarray(o_ln))
-    for a, b in zip(vjp_up(do), vjp_ln(do)):
+    for a, b in zip(grads_up, vjp_ln(do)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     attn = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * sm

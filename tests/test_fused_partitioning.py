@@ -17,6 +17,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vqvae_from_gaussian_vae_tpu.ops.downsample_conv import downsample_conv3x3_gn
 from vqvae_from_gaussian_vae_tpu.ops.upsample_conv import upsample_nearest_conv3x3_gn
 
+# these are 8-way GSPMD partitioning checks: they need the virtual CPU
+# mesh; the on-chip suite (GVQ_TEST_TPU=1) runs single-device, where
+# there is nothing to shard over
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh")
+
 
 def _mesh():
     return Mesh(np.array(jax.devices()).reshape(len(jax.devices())), ("data",))

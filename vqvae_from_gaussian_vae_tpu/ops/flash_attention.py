@@ -27,6 +27,7 @@ round 2d.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -46,22 +47,39 @@ from jax.experimental.pallas.ops.tpu.flash_attention import (
 __all__ = ["flash_attention", "BlockSizes"]
 
 
+def _prec_guard(dtype):
+    """Pin DEFAULT matmul precision around bf16 kernel launches.
+
+    The upstream kernel bodies issue dots at the ambient default
+    precision; under a global jax_default_matmul_precision=highest (the
+    on-chip suite mode, tests/conftest.py) that asks Mosaic for an
+    fp32-contract tpu.matmul on bf16 tiles, which it rejects ("Bad lhs
+    type").  A bf16 dot is one MXU pass at every precision, so this is
+    semantically free; fp32 inputs keep the ambient setting.
+    """
+    if dtype == jnp.float32:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision("default")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention(q, k, v, sm_scale: float, block_sizes: BlockSizes):
     """o = softmax(q @ k^T * sm_scale) @ v via the Pallas TPU kernel."""
-    return _flash_attention_impl(
-        q, k, v, None, None, False, False, sm_scale,
-        block_sizes.block_b, block_sizes.block_q,
-        block_sizes.block_k_major, block_sizes.block_k, False,
-    )
+    with _prec_guard(q.dtype):
+        return _flash_attention_impl(
+            q, k, v, None, None, False, False, sm_scale,
+            block_sizes.block_b, block_sizes.block_q,
+            block_sizes.block_k_major, block_sizes.block_k, False,
+        )
 
 
 def _fwd(q, k, v, sm_scale, block_sizes):
-    o, l, m = _flash_attention_impl(
-        q, k, v, None, None, True, False, sm_scale,
-        block_sizes.block_b, block_sizes.block_q,
-        block_sizes.block_k_major, block_sizes.block_k, False,
-    )
+    with _prec_guard(q.dtype):
+        o, l, m = _flash_attention_impl(
+            q, k, v, None, None, True, False, sm_scale,
+            block_sizes.block_b, block_sizes.block_q,
+            block_sizes.block_k_major, block_sizes.block_k, False,
+        )
     return o, (q, k, v, o, l, m)
 
 
@@ -74,22 +92,23 @@ def _bwd(sm_scale, block_sizes, res, do):
         )
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
 
-    dk, dv = _flash_attention_bwd_dkv(
-        q, k, v, None, None, l, m, do, di,
-        block_q_major=block_sizes.block_q_major_dkv,
-        block_k_major=block_sizes.block_k_major_dkv,
-        block_k=block_sizes.block_k_dkv,
-        block_q=block_sizes.block_q_dkv,
-        sm_scale=sm_scale, causal=False,
-        mask_value=DEFAULT_MASK_VALUE, debug=False,
-    )
-    dq = _bwd_dq_lean(
-        q, k, v, l, m, do, di,
-        block_q_major=block_sizes.block_q_dq,
-        block_k_major=block_sizes.block_k_major_dq,
-        block_k=block_sizes.block_k_dq,
-        sm_scale=sm_scale,
-    )
+    with _prec_guard(q.dtype):
+        dk, dv = _flash_attention_bwd_dkv(
+            q, k, v, None, None, l, m, do, di,
+            block_q_major=block_sizes.block_q_major_dkv,
+            block_k_major=block_sizes.block_k_major_dkv,
+            block_k=block_sizes.block_k_dkv,
+            block_q=block_sizes.block_q_dkv,
+            sm_scale=sm_scale, causal=False,
+            mask_value=DEFAULT_MASK_VALUE, debug=False,
+        )
+        dq = _bwd_dq_lean(
+            q, k, v, l, m, do, di,
+            block_q_major=block_sizes.block_q_dq,
+            block_k_major=block_sizes.block_k_major_dq,
+            block_k=block_sizes.block_k_dq,
+            sm_scale=sm_scale,
+        )
     return dq, dk, dv
 
 

@@ -139,8 +139,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref=None, *, sm_scale, heads):
     d = q.shape[-1] // heads
     # fp32 operands are the exact-parity path: force full-precision MXU
     # passes (the default truncates fp32 dots to one bf16 pass — caught by
-    # the on-TPU parity run; bf16 operands keep the fast single pass)
-    prec = (lax.Precision.HIGHEST if q.dtype == jnp.float32 else None)
+    # the on-TPU parity run).  bf16 operands must pin DEFAULT explicitly:
+    # a global jax_default_matmul_precision=highest (the on-chip suite
+    # mode) would otherwise reach into the kernel and ask Mosaic for an
+    # fp32-contract tpu.matmul on bf16 tiles, which it rejects ("Bad lhs
+    # type") — a bf16 dot is a single MXU pass at every precision anyway.
+    prec = (lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
     # power-of-two scales (every D = 4^k head) fold into the bf16 q tile
     # EXACTLY (pure exponent shift) — a (bq, D) multiply instead of the
     # (bq, L) fp32 score multiply, 16x less VPU traffic at D=64/L=1024
@@ -225,8 +230,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, z_ref, do_ref,
     o = o_ref[0]
     z = z_ref[0]  # (block_q, >=heads) fp32 log-normalizers from the fwd
     d = q.shape[-1] // heads
-    # fp32 = exact-parity path: full-precision MXU passes (see _fwd_kernel)
-    prec = (lax.Precision.HIGHEST if q.dtype == jnp.float32 else None)
+    # fp32 = exact-parity path: full-precision MXU passes; bf16 pins
+    # DEFAULT so a global highest-precision override cannot inject an
+    # fp32-contract matmul Mosaic rejects on bf16 tiles (see _fwd_kernel)
+    prec = (lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
 
     q_fold = _pow2(sm_scale)
 
