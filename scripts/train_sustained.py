@@ -212,10 +212,10 @@ def main():
     rows = seg1_rows + [r for r in seg2_rows
                         if int(r["step"]) > int(seg1_rows[-1]["step"])]
 
-    report(args, work, logdir, seg1_last, rows)
+    report(args, work, logdir, seg1_last, int(seg2_rows[0]["step"]), rows)
 
 
-def report(args, work, logdir, seg1_last, rows):
+def report(args, work, logdir, seg1_last, seg2_first, rows):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -285,10 +285,11 @@ def report(args, work, logdir, seg1_last, rows):
         f.write(f"# {args.config} sustained run — machine-written summary\n\n")
         f.write(f"- steps: {steps[-1]} (target {args.steps}), bs={args.batch},"
                 f" bf16 overlay, disc_start={args.disc_start}\n")
-        resumed = [s for s in steps if s > seg1_last - 6]
+        # seg2_first is segment 2's OWN first CSV row (the merged series
+        # would surface a segment-1 row and misreport the resume point)
         f.write(f"- segment 1 ended (SIGINT/crash-ckpt) at step "
-                f"{seg1_last}; segment 2 resumed at step "
-                f"{resumed[0] if resumed else 'n/a'}\n")
+                f"{seg1_last}; segment 2's first logged row is step "
+                f"{seg2_first}\n")
         f.write(f"- image grids committed: {', '.join(copied) or 'none'}\n")
         f.write(f"- post-fit validation epoch rows logged: {len(val_rows)}\n")
         f.write("- DISCLOSURE: no vgg.pth in this image, so the LPIPS "
